@@ -1,0 +1,249 @@
+"""Single typed configuration for the whole framework.
+
+The reference scatters configuration across four systems (module constants in
+demo.py:57-83, a yaml opt loader, mmengine, and hydra for SAM2).  Here one
+dataclass tree covers the model, runtime and post-processing knobs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """DINOv2-style vision transformer used as the patch embedder.
+
+    Mirrors `iggt/layers/vision_transformer.py:42-180` (vit_large factory at
+    :379-390) with the aggregator's overrides (`iggt/models/aggregator.py:148-184`):
+    4 register tokens, layerscale init 1.0, antialiased pos-embed interpolation.
+    """
+
+    img_size: int = 518
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    num_register_tokens: int = 4
+    init_values: float = 1.0  # layerscale
+    interpolate_antialias: bool = True
+    interpolate_offset: float = 0.0
+    ln_eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class AggregatorConfig:
+    """Alternating-attention trunk (`iggt/models/aggregator.py:19-141`)."""
+
+    img_size: int = 518
+    patch_size: int = 14
+    embed_dim: int = 1024
+    depth: int = 24  # pairs of (frame, global) blocks
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    num_register_tokens: int = 4
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    ffn_bias: bool = True
+    patch_embed: str = "dinov2_vitl14_reg"  # or "conv"
+    aa_order: Tuple[str, ...] = ("frame", "global")
+    aa_block_size: int = 1
+    qk_norm: bool = True
+    rope_freq: float = 100.0
+    init_values: float = 0.01  # layerscale for the AA blocks
+    vit: ViTConfig = dataclasses.field(default_factory=ViTConfig)
+
+    @property
+    def patch_start_idx(self) -> int:
+        # 1 camera token + register tokens (`aggregator.py:127-130`)
+        return 1 + self.num_register_tokens
+
+    @property
+    def token_dim(self) -> int:
+        """Dim of each aggregated output (frame ++ global concat)."""
+        return 2 * self.embed_dim
+
+    def with_vit(self) -> "AggregatorConfig":
+        """Sync the nested ViT config with the trunk geometry."""
+        vit = dataclasses.replace(
+            self.vit,
+            img_size=self.img_size,
+            patch_size=self.patch_size,
+            num_register_tokens=self.num_register_tokens,
+        )
+        return dataclasses.replace(self, vit=vit)
+
+
+@dataclasses.dataclass(frozen=True)
+class DPTConfig:
+    """DPT dense decoder head (`iggt/heads/dpt_head.py:21-130`)."""
+
+    dim_in: int = 2048
+    patch_size: int = 14
+    output_dim: int = 4
+    activation: str = "inv_log"
+    conf_activation: str = "expp1"
+    features: int = 256
+    out_channels: Tuple[int, ...] = (256, 512, 1024, 1024)
+    intermediate_layer_idx: Tuple[int, ...] = (4, 11, 17, 23)
+    pos_embed: bool = True
+    use_point_feat: bool = False
+    down_ratio: int = 1
+    for_tracker: bool = False
+    frames_chunk_size: int = 12
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraHeadConfig:
+    """Iterative pose regression head (`iggt/heads/camera_head.py:19-82`)."""
+
+    dim_in: int = 2048
+    trunk_depth: int = 4
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    init_values: float = 0.01
+    target_dim: int = 9  # absT(3) + quaR(4) + FoV(2)
+    num_iterations: int = 4
+    trans_act: str = "linear"
+    quat_act: str = "linear"
+    fl_act: str = "relu"
+
+
+@dataclasses.dataclass(frozen=True)
+class PartHeadConfig:
+    """Instance-feature head (`iggt/heads/part_head.py:14-100`)."""
+
+    dim_in: int = 2048
+    patch_size: int = 14
+    output_dim: int = 8
+    activation: str = "norm"
+    features: int = 256
+    out_channels: Tuple[int, ...] = (256, 256, 256, 256)
+    intermediate_layer_idx: Tuple[int, ...] = (4, 11, 17, 23)
+    pos_embed: bool = True
+    window_size: int = 8
+    ca_num_heads: int = 8  # MemEffCrossAttention at fusion levels 4 and 3
+    swin_num_heads: int = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackHeadConfig:
+    """CoTracker-style tracker head (`iggt/heads/track_head.py:12-72`)."""
+
+    dim_in: int = 2048
+    patch_size: int = 14
+    features: int = 128
+    iters: int = 4
+    corr_levels: int = 7
+    corr_radius: int = 4
+    hidden_size: int = 384
+    predict_conf: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Full IGGT/VGGT model assembly (`iggt/models/vggt.py:132-147`)."""
+
+    name: str = "iggt"  # "iggt" | "vggt"
+    img_size: int = 518
+    patch_size: int = 14
+    embed_dim: int = 1024
+    aggregator: AggregatorConfig = dataclasses.field(default_factory=AggregatorConfig)
+    enable_camera: bool = True
+    enable_depth: bool = True
+    enable_point: bool = True
+    enable_part: bool = True
+    enable_track: bool = False
+    camera: CameraHeadConfig = dataclasses.field(default_factory=CameraHeadConfig)
+    part: PartHeadConfig = dataclasses.field(default_factory=PartHeadConfig)
+    track: TrackHeadConfig = dataclasses.field(default_factory=TrackHeadConfig)
+    # numerics: trunk runs in bf16, heads + RoPE forced fp32 mirroring
+    # `demo.py:191-195` + `vggt.py:189` + `heads/block.py:165-170`.
+    trunk_dtype: str = "bfloat16"
+    head_dtype: str = "float32"
+
+    @property
+    def depth_head(self) -> DPTConfig:
+        return DPTConfig(
+            dim_in=2 * self.embed_dim,
+            patch_size=self.patch_size,
+            output_dim=2,
+            activation="exp",
+            conf_activation="expp1",
+            use_point_feat=False,
+        )
+
+    @property
+    def point_head(self) -> DPTConfig:
+        return DPTConfig(
+            dim_in=2 * self.embed_dim,
+            patch_size=self.patch_size,
+            output_dim=4,
+            activation="inv_log",
+            conf_activation="expp1",
+            use_point_feat=(self.name == "iggt"),
+        )
+
+    def scaled(self, embed_dim: int, depth: int, num_heads: int,
+               vit_depth: Optional[int] = None, img_size: int = 518,
+               patch_embed: str = "dinov2_vitl14_reg") -> "ModelConfig":
+        """A smaller variant (for tests / debug)."""
+        vit = ViTConfig(
+            img_size=img_size, patch_size=self.patch_size, embed_dim=embed_dim,
+            depth=vit_depth if vit_depth is not None else depth,
+            num_heads=num_heads,
+        )
+        agg = AggregatorConfig(
+            img_size=img_size, patch_size=self.patch_size, embed_dim=embed_dim,
+            depth=depth, num_heads=num_heads, patch_embed=patch_embed, vit=vit,
+        ).with_vit()
+        idx = tuple(sorted({depth // 6, depth // 2, (3 * depth) // 4, depth - 1}))
+        while len(idx) < 4:  # tiny depths: repeat the last layer
+            idx = idx + (depth - 1,)
+        return dataclasses.replace(
+            self,
+            img_size=img_size,
+            embed_dim=embed_dim,
+            aggregator=agg,
+            camera=dataclasses.replace(
+                self.camera, dim_in=2 * embed_dim,
+                num_heads=min(num_heads, 2 * embed_dim // 32)),
+            part=dataclasses.replace(
+                self.part, dim_in=2 * embed_dim,
+                intermediate_layer_idx=idx[:4]),
+            track=dataclasses.replace(self.track, dim_in=2 * embed_dim),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ClusteringConfig:
+    """HDBSCAN / KNN post-processing (`demo.py:62-83`, "Large" preset)."""
+
+    eps: float = 0.06
+    min_samples: int = 100
+    min_cluster_size: int = 500
+    knn_k: int = 20
+
+
+# Presets from demo.py:63-83
+CLUSTERING_SMALL = ClusteringConfig(eps=0.005, min_samples=50)
+CLUSTERING_MEDIUM = ClusteringConfig(eps=0.01, min_samples=100)
+CLUSTERING_LARGE = ClusteringConfig(eps=0.06, min_samples=100)
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Execution knobs for the inference app (`demo.py:57-60`)."""
+
+    image_size: Tuple[int, int] = (504, 336)  # (W, H)
+    conf_threshold: float = 0.3
+    clustering: ClusteringConfig = dataclasses.field(default_factory=ClusteringConfig)
+    use_flash_attention: bool = True
+    mesh_axes: Tuple[str, ...] = ("data", "seq")
+    mesh_shape: Optional[Tuple[int, ...]] = None  # None => all devices on "data"

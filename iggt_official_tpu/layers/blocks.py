@@ -1,0 +1,202 @@
+"""Transformer primitives: MLP, LayerScale, qk-norm MHA, pre-norm Block.
+
+Behavioural parity:
+- `Attention`: `iggt/layers/attention.py:21-77` (fused SDPA path, optional
+  per-head-dim LayerNorm qk-norm, optional 2D RoPE on q/k).
+- `Block`: `iggt/layers/block.py:27-107` (pre-norm, LayerScale residuals).
+- `Mlp`: `iggt/layers/mlp.py` (fc1 -> GELU -> fc2).
+- `SwiGLUFFN(Fused)`: `iggt/layers/swiglu_ffn.py` (w12 -> silu-gate -> w3).
+
+TPU design notes:
+- Q/K/V layout is (B, N, heads, head_dim); attention runs either as an XLA
+  einsum-softmax (reference path) or a Pallas flash kernel
+  (`iggt_official_tpu/ops/flash_attention.py`), selected per call.
+- Compute dtype is configurable (bf16 trunk); LayerNorms and RoPE stay fp32,
+  mirroring the reference autocast behaviour (`demo.py:191-195`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from iggt_official_tpu.layers.rope import Rope2DTables, apply_rope_2d
+
+Dtype = jnp.dtype
+
+
+def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Reference-path scaled-dot-product attention.
+
+    q, k, v: (B, N, H, D) -> (B, N, H, D).  Softmax in fp32 for stability
+    (matches torch SDPA numerics under autocast closely enough for parity).
+    """
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+class Mlp(nn.Module):
+    """fc1 -> act -> fc2 (`iggt/layers/mlp.py`)."""
+
+    hidden_features: int
+    out_features: Optional[int] = None
+    bias: bool = True
+    act: Callable = nn.gelu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out_features = self.out_features or x.shape[-1]
+        x = nn.Dense(self.hidden_features, use_bias=self.bias, dtype=self.dtype,
+                     name="fc1")(x)
+        x = self.act(x)
+        x = nn.Dense(out_features, use_bias=self.bias, dtype=self.dtype,
+                     name="fc2")(x)
+        return x
+
+
+class SwiGLUFFN(nn.Module):
+    """w12 -> silu(x1)*x2 -> w3 (`iggt/layers/swiglu_ffn.py`, fused variant).
+
+    Hidden sizing matches SwiGLUFFNFused: hidden = (2/3 * mlp_hidden + 7) // 8 * 8.
+    """
+
+    hidden_features: int
+    bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        out_features = x.shape[-1]
+        hidden = (int(self.hidden_features * 2 / 3) + 7) // 8 * 8
+        x12 = nn.Dense(2 * hidden, use_bias=self.bias, dtype=self.dtype,
+                       name="w12")(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return nn.Dense(out_features, use_bias=self.bias, dtype=self.dtype,
+                        name="w3")(nn.silu(x1) * x2)
+
+
+class LayerScale(nn.Module):
+    """Learnable per-channel residual scale (`iggt/layers/layer_scale.py`)."""
+
+    dim: int
+    init_values: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init_values), (self.dim,)
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class Attention(nn.Module):
+    """MHA with optional qk-norm (LayerNorm over head_dim) and 2D RoPE.
+
+    Parity target: `iggt/layers/attention.py:21-77`.  RoPE tables are passed
+    in (precomputed once per forward); `attn_fn` lets callers swap in the
+    Pallas flash kernel.
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    qk_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        rope: Optional[Rope2DTables] = None,
+        attn_fn: Callable = sdpa_xla,
+    ) -> jax.Array:
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        if self.qk_norm:
+            # LayerNorm over head_dim, affine, fp32 (torch autocast behaviour)
+            q_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="q_norm")
+            k_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="k_norm")
+            q = q_norm(q).astype(self.dtype)
+            k = k_norm(k).astype(self.dtype)
+
+        if rope is not None:
+            q = apply_rope_2d(q, rope)
+            k = apply_rope_2d(k, rope)
+
+        out = attn_fn(q, k, v)
+        out = out.reshape(B, N, C)
+        return nn.Dense(self.dim, use_bias=self.proj_bias, dtype=self.dtype,
+                        name="proj")(out)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block with LayerScale residuals.
+
+    Parity target: `iggt/layers/block.py:27-107` (inference path; drop-path
+    is identity at eval and stochastic depth is not used by the shipped
+    checkpoints' inference).
+    """
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    ffn_bias: bool = True
+    init_values: Optional[float] = None
+    qk_norm: bool = False
+    ffn_layer: str = "mlp"  # "mlp" | "swiglu"
+    dtype: Dtype = jnp.float32
+    # torch nn.LayerNorm default; the DINOv2 ViT overrides to 1e-6
+    ln_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        rope: Optional[Rope2DTables] = None,
+        attn_fn: Callable = sdpa_xla,
+    ) -> jax.Array:
+        attn_out = Attention(
+            dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            proj_bias=self.proj_bias, qk_norm=self.qk_norm, dtype=self.dtype,
+            name="attn",
+        )(
+            nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="norm1")(x)
+            .astype(self.dtype),
+            rope=rope,
+            attn_fn=attn_fn,
+        )
+        if self.init_values is not None:
+            attn_out = LayerScale(self.dim, self.init_values, name="ls1")(attn_out)
+        x = x + attn_out
+
+        if self.ffn_layer == "mlp":
+            ffn = Mlp(hidden_features=int(self.dim * self.mlp_ratio),
+                      bias=self.ffn_bias, dtype=self.dtype, name="mlp")
+        elif self.ffn_layer == "swiglu":
+            ffn = SwiGLUFFN(hidden_features=int(self.dim * self.mlp_ratio),
+                            bias=self.ffn_bias, dtype=self.dtype, name="mlp")
+        else:
+            raise ValueError(f"unknown ffn_layer {self.ffn_layer}")
+
+        mlp_out = ffn(
+            nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="norm2")(x)
+            .astype(self.dtype)
+        )
+        if self.init_values is not None:
+            mlp_out = LayerScale(self.dim, self.init_values, name="ls2")(mlp_out)
+        return x + mlp_out
