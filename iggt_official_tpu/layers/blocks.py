@@ -28,6 +28,11 @@ from iggt_official_tpu.layers.rope import Rope2DTables, apply_rope_2d
 Dtype = jnp.dtype
 
 
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """erf-based GELU (torch nn.GELU default; flax defaults to tanh approx)."""
+    return nn.gelu(x, approximate=False)
+
+
 def sdpa_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Reference-path scaled-dot-product attention.
 
@@ -46,7 +51,7 @@ class Mlp(nn.Module):
     hidden_features: int
     out_features: Optional[int] = None
     bias: bool = True
-    act: Callable = nn.gelu
+    act: Callable = gelu_exact
     dtype: Dtype = jnp.float32
 
     @nn.compact

@@ -1,0 +1,188 @@
+"""Convert reference PyTorch state dicts into flax parameter trees.
+
+The flax modules in this package deliberately reuse the reference's
+submodule names (qkv, proj, norm1, ls1, mlp.fc1, blocks.N -> blocks_N, ...),
+so conversion is a mechanical rule set:
+
+- path: split on '.', merge pure-digit components into the previous one
+  (``blocks.3.attn`` -> ``blocks_3/attn``).
+- Linear ``weight`` (ndim 2)          -> ``kernel``, transposed.
+- LayerNorm/BatchNorm ``weight``      -> ``scale``.
+- Conv2d ``weight`` (ndim 4)          -> ``kernel`` (kh, kw, in, out).
+- ConvTranspose2d ``weight``          -> ``kernel``: flip spatial dims then
+  (in, out, kh, kw) -> (kh, kw, in, out)   [torch layout is (in, out, kh, kw)]
+- BatchNorm ``running_mean/var``      -> ``mean`` / ``var``.
+- everything else (gamma, bias, *_token, pos_embed, rpb tables) copies.
+
+Checkpoint loading mirrors `demo.py:113-116` + `utils/model.py:27-55`:
+strip a leading ``module.``, intersect by name, drop shape mismatches with a
+log line, and report unmatched keys.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, Iterable, Optional, Set, Tuple
+
+import numpy as np
+
+TensorDict = Dict[str, np.ndarray]
+
+# torch parameter names whose ndim-4 weight belongs to a ConvTranspose2d
+# (flip + (I,O,kh,kw)->(kh,kw,I,O)) rather than a Conv2d.  Matched on the
+# *suffix-free* module path via regex.
+_CONVTRANSPOSE_PATTERNS = [
+    # DPTHead resize layers 0 and 1 (`dpt_head.py:87-96`)
+    r"(depth_head|point_head|track_head\.feature_extractor)\.resize_layers\.[01]$",
+    # SamProjector resize pyramid: Sequential stages 0/1 contain
+    # ConvTranspose2d at inner indices 0 (+2 for stage 0)  (`adaptor.py:152-171`)
+    r"part_adaptor\.resize_layers\.0\.[02]$",
+    r"part_adaptor\.resize_layers\.1\.0$",
+]
+
+
+def is_conv_transpose(path: str) -> bool:
+    return any(re.search(p, path) for p in _CONVTRANSPOSE_PATTERNS)
+
+
+def _merge_digits(parts: Iterable[str]) -> Tuple[str, ...]:
+    out = []
+    for p in parts:
+        if p.isdigit() and out:
+            out[-1] = f"{out[-1]}_{p}"
+        else:
+            out.append(p)
+    return tuple(out)
+
+
+def torch_name_to_flax_path(
+    name: str, ndim: int, conv_transpose: bool = False
+) -> Tuple[Tuple[str, ...], Callable[[np.ndarray], np.ndarray]]:
+    """Map a torch parameter name to (flax path, array transform)."""
+    parts = name.split(".")
+    leaf = parts[-1]
+    prefix = _merge_digits(parts[:-1])
+
+    identity = lambda a: a
+    if leaf == "weight":
+        if ndim == 2:
+            return prefix + ("kernel",), lambda a: np.ascontiguousarray(a.T)
+        if ndim == 4:
+            if conv_transpose:
+                return prefix + ("kernel",), lambda a: np.ascontiguousarray(
+                    a[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+                )
+            return prefix + ("kernel",), lambda a: np.ascontiguousarray(
+                a.transpose(2, 3, 1, 0)
+            )
+        if ndim == 1:
+            return prefix + ("scale",), identity
+        raise ValueError(f"unhandled weight ndim {ndim} for {name}")
+    if leaf == "running_mean":
+        return prefix + ("mean",), identity
+    if leaf == "running_var":
+        return prefix + ("var",), identity
+    if leaf == "num_batches_tracked":
+        return (), identity  # dropped
+    return _merge_digits(parts), identity
+
+
+def torch_state_dict_to_flax(
+    state_dict: TensorDict,
+    rename: Optional[Callable[[str], Optional[str]]] = None,
+    conv_transpose_paths: Optional[Callable[[str], bool]] = None,
+) -> Dict:
+    """Convert a full torch state dict into a nested flax params dict.
+
+    ``rename`` maps torch names to new torch-style names (return None to
+    drop).  ``conv_transpose_paths`` overrides ConvTranspose detection.
+    """
+    is_ct = conv_transpose_paths or is_conv_transpose
+    tree: Dict = {}
+    for name, value in state_dict.items():
+        if rename is not None:
+            name2 = rename(name)
+            if name2 is None:
+                continue
+            name = name2
+        arr = np.asarray(value)
+        module_path = ".".join(name.split(".")[:-1])
+        path, transform = torch_name_to_flax_path(
+            name, arr.ndim, conv_transpose=is_ct(module_path)
+        )
+        if not path:
+            continue
+        node = tree
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = transform(arr)
+    return tree
+
+
+def strip_module_prefix(state_dict: TensorDict) -> TensorDict:
+    """DDP 'module.' prefix strip (`demo.py:114`)."""
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in state_dict.items()
+    }
+
+
+def flatten_tree(tree: Dict, prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], np.ndarray]:
+    flat = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            flat.update(flatten_tree(v, prefix + (k,)))
+        else:
+            flat[prefix + (k,)] = v
+    return flat
+
+
+def unflatten_tree(flat: Dict[Tuple[str, ...], np.ndarray]) -> Dict:
+    tree: Dict = {}
+    for path, v in flat.items():
+        node = tree
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = v
+    return tree
+
+
+def align_params(
+    target: Dict, loaded: Dict, log: Optional[Callable[[str], None]] = print
+) -> Tuple[Dict, Dict[str, list]]:
+    """Shape-checked intersection merge, like `utils/model.py:27-55`.
+
+    Returns (merged params matching `target`'s structure, report dict with
+    'matched' / 'shape_mismatch' / 'missing' / 'unused' name lists).
+    """
+    tgt = flatten_tree(target)
+    src = flatten_tree(loaded)
+    report = {"matched": [], "shape_mismatch": [], "missing": [], "unused": []}
+    merged = {}
+    for path, tval in tgt.items():
+        name = "/".join(path)
+        if path in src:
+            sval = src[path]
+            if tuple(np.shape(sval)) == tuple(np.shape(tval)):
+                merged[path] = np.asarray(sval, dtype=np.asarray(tval).dtype)
+                report["matched"].append(name)
+            else:
+                merged[path] = tval
+                report["shape_mismatch"].append(
+                    f"{name}: ckpt{np.shape(sval)} vs model{np.shape(tval)}"
+                )
+        else:
+            merged[path] = tval
+            report["missing"].append(name)
+    for path in src:
+        if path not in tgt:
+            report["unused"].append("/".join(path))
+    if log is not None:
+        log(
+            f"align_params: {len(report['matched'])} matched, "
+            f"{len(report['shape_mismatch'])} shape-mismatched, "
+            f"{len(report['missing'])} missing, {len(report['unused'])} unused"
+        )
+        for line in report["shape_mismatch"]:
+            log(f"  SHAPE MISMATCH {line}")
+    return unflatten_tree(merged), report
