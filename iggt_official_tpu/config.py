@@ -160,6 +160,7 @@ class ModelConfig:
     enable_point: bool = True
     enable_part: bool = True
     enable_track: bool = False
+    intermediate_layer_idx: Tuple[int, ...] = (4, 11, 17, 23)
     camera: CameraHeadConfig = dataclasses.field(default_factory=CameraHeadConfig)
     part: PartHeadConfig = dataclasses.field(default_factory=PartHeadConfig)
     track: TrackHeadConfig = dataclasses.field(default_factory=TrackHeadConfig)
@@ -176,6 +177,7 @@ class ModelConfig:
             output_dim=2,
             activation="exp",
             conf_activation="expp1",
+            intermediate_layer_idx=self.intermediate_layer_idx,
             use_point_feat=False,
         )
 
@@ -187,6 +189,7 @@ class ModelConfig:
             output_dim=4,
             activation="inv_log",
             conf_activation="expp1",
+            intermediate_layer_idx=self.intermediate_layer_idx,
             use_point_feat=(self.name == "iggt"),
         )
 
@@ -211,6 +214,7 @@ class ModelConfig:
             img_size=img_size,
             embed_dim=embed_dim,
             aggregator=agg,
+            intermediate_layer_idx=idx[:4],
             camera=dataclasses.replace(
                 self.camera, dim_in=2 * embed_dim,
                 num_heads=min(num_heads, 2 * embed_dim // 32)),

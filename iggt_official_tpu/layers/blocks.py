@@ -147,6 +147,35 @@ class Attention(nn.Module):
                         name="proj")(out)
 
 
+class CrossAttention(nn.Module):
+    """croco-style cross-attention: q from `query`, k/v from a context map.
+
+    Parity target: `iggt/heads/block.py:190-244` (``CrossAttention`` /
+    ``MemEffCrossAttention`` without rope/qk-norm, the configuration used by
+    the Part head's pyramid-feature injections, `iggt/heads/part_head.py:68-84`).
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, query: jax.Array, key: jax.Array, value: jax.Array
+    ) -> jax.Array:
+        B, Nq, C = query.shape
+        hd = self.dim // self.num_heads
+        q = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="projq")(query).reshape(B, Nq, self.num_heads, hd)
+        k = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="projk")(key).reshape(B, -1, self.num_heads, hd)
+        v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                     name="projv")(value).reshape(B, -1, self.num_heads, hd)
+        out = sdpa_xla(q, k, v).reshape(B, Nq, C)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
 class Block(nn.Module):
     """Pre-norm transformer block with LayerScale residuals.
 

@@ -30,19 +30,81 @@ TensorDict = Dict[str, np.ndarray]
 
 # torch parameter names whose ndim-4 weight belongs to a ConvTranspose2d
 # (flip + (I,O,kh,kw)->(kh,kw,I,O)) rather than a Conv2d.  Matched on the
-# *suffix-free* module path via regex.
+# *suffix-free* module path via regex, AFTER `iggt_rename` is applied.
 _CONVTRANSPOSE_PATTERNS = [
-    # DPTHead resize layers 0 and 1 (`dpt_head.py:87-96`)
-    r"(depth_head|point_head|track_head\.feature_extractor)\.resize_layers\.[01]$",
-    # SamProjector resize pyramid: Sequential stages 0/1 contain
-    # ConvTranspose2d at inner indices 0 (+2 for stage 0)  (`adaptor.py:152-171`)
-    r"part_adaptor\.resize_layers\.0\.[02]$",
-    r"part_adaptor\.resize_layers\.1\.0$",
+    # DPTHead / GeoProjector resize layers 0 and 1 (`dpt_head.py:87-96`,
+    # `adaptor.py:71-84`) — with or without a model-level prefix
+    r"(^|\.)resize_[01]$",
+    # SamProjector resize pyramid upsample stages (`adaptor.py:152-171`)
+    r"resize_0_up[12]$",
+    r"resize_1_up$",
 ]
 
 
 def is_conv_transpose(path: str) -> bool:
     return any(re.search(p, path) for p in _CONVTRANSPOSE_PATTERNS)
+
+
+# Rules mapping reference module paths onto this package's flax module
+# names.  Each is (regex, replacement) applied with re.sub; a None
+# replacement drops the parameter (dead weights / index buffers).
+_RENAME_RULES: Tuple[Tuple[str, Optional[str]], ...] = (
+    # dead inherited DPT front-end in PartHead (`part_head.py:30,206-218`)
+    (r"^(.*\.)?part_head\.(norm|projects|resize_layers)\..*$", None),
+    # precomputed window-attention index buffers — rebuilt statically here
+    (r".*relative_position_index.*$", None),
+    # DPT scratch container is flattened away (`dpt_head.py:100-128`)
+    (r"\.scratch\.", "."),
+    # DPT resize pyramid (`dpt_head.py:85-98`)
+    (r"\.resize_layers\.([0-3])$", r".resize_\1"),
+    # CameraHead Sequential(SiLU, Linear) (`camera_head.py:72`)
+    (r"\.poseLN_modulation\.1$", ".poseLN_modulation"),
+    # SamProjector resize stages (`adaptor.py:152-175`); Projects internals
+    # extend these paths, hence the lookahead instead of an anchor
+    (r"\.resize_layers\.0\.0(?=\.|$)", ".resize_0_up1"),
+    (r"\.resize_layers\.0\.1(?=\.|$)", ".resize_0_proj1"),
+    (r"\.resize_layers\.0\.2(?=\.|$)", ".resize_0_up2"),
+    (r"\.resize_layers\.0\.3(?=\.|$)", ".resize_0_proj2"),
+    (r"\.resize_layers\.1\.0(?=\.|$)", ".resize_1_up"),
+    (r"\.resize_layers\.1\.1(?=\.|$)", ".resize_1_proj"),
+    (r"\.resize_layers\.2\.1(?=\.|$)", ".resize_2_proj"),
+    (r"\.resize_layers\.3\.0(?=\.|$)", ".resize_3_down"),
+    (r"\.resize_layers\.3\.1(?=\.|$)", ".resize_3_proj"),
+    # Projects block internals (`adaptor.py:12-26`)
+    (r"\.input_proj\.0$", ".input_proj_conv"),
+    (r"\.input_proj\.1$", ".input_proj_bn"),
+    (r"\.residual_conv\.0$", ".res_conv1"),
+    (r"\.residual_conv\.1$", ".res_bn1"),
+    (r"\.residual_conv\.3$", ".res_conv2"),
+    (r"\.residual_conv\.4$", ".res_bn2"),
+    # Swin wrappers (`window_sa.py:321-545`)
+    (r"\.patch_embed\.norm$", ".patch_norm"),
+    (r"\.atten_block\.attn\.qkv$", ".atten_block.attn_qkv"),
+    (r"\.atten_block\.attn\.proj$", ".atten_block.attn_proj"),
+    (r"\.conv_block\.cab\.0$", ".conv_block.conv1"),
+    (r"\.conv_block\.cab\.2$", ".conv_block.conv2"),
+    (r"\.conv_block\.cab\.3\.attention\.1$", ".conv_block.ca.fc1"),
+    (r"\.conv_block\.cab\.3\.attention\.3$", ".conv_block.ca.fc2"),
+    (r"\.conv_before_upsample\.0$", ".conv_before_upsample"),
+    # DPT output_conv2 Sequential indices merge to _0/_2 automatically
+)
+
+
+def iggt_rename(name: str) -> Optional[str]:
+    """Default rename for full IGGT/VGGT checkpoints (applied per module
+    path, leaf kept).  Returns None for parameters we deliberately drop."""
+    parts = name.rsplit(".", 1)
+    module_path, leaf = (parts[0], parts[1]) if len(parts) == 2 else ("", parts[0])
+    # guard rules that match whole names (drops)
+    probe = f".{module_path}" if module_path else ""
+    for pattern, repl in _RENAME_RULES:
+        if repl is None:
+            if re.match(pattern, name):
+                return None
+            continue
+        probe = re.sub(pattern, repl, probe)
+    new_module = probe[1:] if probe.startswith(".") else probe
+    return f"{new_module}.{leaf}" if new_module else leaf
 
 
 def _merge_digits(parts: Iterable[str]) -> Tuple[str, ...]:
