@@ -1,0 +1,100 @@
+"""Benchmark: flagship IGGT forward throughput on the local accelerator.
+
+Measures views/sec for the BASELINE.json operating point — an 8-view scene
+at 518 px, bf16 trunk + fp32 heads, full ViT-L/14 model — and prints ONE
+JSON line:  {"metric", "value", "unit", "vs_baseline"}.
+
+The reference repo publishes no numbers (BASELINE.md), so ``vs_baseline``
+is measured against a locally recorded anchor: the first run writes
+``BENCH_ANCHOR.json`` and reports 1.0; later runs report the ratio to that
+anchor, tracking progress across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+ANCHOR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from iggt_official_tpu.config import ModelConfig
+    from iggt_official_tpu.models.vggt import IGGT
+
+    B, S, H, W = 1, 8, 518, 518
+    cfg = ModelConfig()
+    model = IGGT(cfg)
+
+    rng = np.random.default_rng(0)
+    images = jax.device_put(
+        jnp.asarray(rng.uniform(0, 1, (B, S, H, W, 3)).astype(np.float32))
+    )
+    # init on a small stack (params are input-size independent) so the
+    # init-time forward fits HBM alongside the fp32 master weights
+    init_images = jnp.asarray(
+        rng.uniform(0, 1, (1, 2, 126, 126, 3)).astype(np.float32)
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), init_images)
+    # store weights bf16 for the throughput bench (halves HBM; fp32 islands
+    # upcast at compute time)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
+    )
+
+    from iggt_official_tpu.ops.flash_attention import attention
+
+    fwd = jax.jit(lambda p, x: model.apply(p, x, attn_fn=attention))
+
+    def sync(o):
+        # NB: jax.block_until_ready returns without waiting through the
+        # remote-TPU tunnel; a small host fetch drains the dispatch queue
+        return np.asarray(o["depth"][:, :, :2, :2, 0])
+
+    # warmup (compile + 1 steady-state run)
+    sync(fwd(params, images))
+    sync(fwd(params, images))
+
+    runs = 5
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out = fwd(params, images)
+    sync(out)
+    dt = time.perf_counter() - t0
+    views_per_sec = B * S * runs / dt
+
+    if os.path.exists(ANCHOR_PATH):
+        with open(ANCHOR_PATH) as f:
+            anchor = json.load(f)["views_per_sec"]
+    else:
+        anchor = views_per_sec
+        with open(ANCHOR_PATH, "w") as f:
+            json.dump(
+                {
+                    "views_per_sec": anchor,
+                    "config": "IGGT ViT-L/14, 8 views @ 518px, bf16 trunk",
+                    "device": str(jax.devices()[0]),
+                },
+                f,
+            )
+
+    print(
+        json.dumps(
+            {
+                "metric": "views_per_sec_8view_518px",
+                "value": round(views_per_sec, 4),
+                "unit": "views/s",
+                "vs_baseline": round(views_per_sec / anchor, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -96,7 +96,9 @@ class DPTConfig:
     use_point_feat: bool = False
     down_ratio: int = 1
     for_tracker: bool = False
-    frames_chunk_size: int = 12
+    # reference default is 12 (40GB A100, `dpt_head.py:135`); 4 keeps the
+    # fp32 full-res decode of an 8-view 518px scene inside 16GB v5e HBM
+    frames_chunk_size: int = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,6 +132,8 @@ class PartHeadConfig:
     window_size: int = 8
     ca_num_heads: int = 8  # MemEffCrossAttention at fusion levels 4 and 3
     swin_num_heads: int = 4
+    # serialize the part path over view chunks (see models/vggt.py)
+    frames_chunk_size: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

@@ -16,7 +16,7 @@ embedding lives with the SAM2 stack where it is actually used.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -117,14 +117,20 @@ class SamProjector(nn.Module):
     patch_size: int = 14
     intermediate_layer_idx: Tuple[int, ...] = (4, 11, 17, 23)
     out_channels: Tuple[int, ...] = (256, 256, 256, 256)
+    # optional construction-time statics (for nn.scan over view chunks)
+    images_hw: Optional[Tuple[int, int]] = None
+    patch_start_idx: Optional[int] = None
 
     @nn.compact
     def __call__(
         self,
         aggregated_tokens_list: Sequence[jax.Array],
-        images_hw: Tuple[int, int],
-        patch_start_idx: int,
+        images_hw: Optional[Tuple[int, int]] = None,
+        patch_start_idx: Optional[int] = None,
     ) -> List[jax.Array]:
+        images_hw = images_hw if images_hw is not None else self.images_hw
+        if patch_start_idx is None:
+            patch_start_idx = self.patch_start_idx
         H, W = images_hw
         ph, pw = H // self.patch_size, W // self.patch_size
         norm = nn.LayerNorm(epsilon=1e-5, name="norm")

@@ -100,15 +100,22 @@ class DPTHead(nn.Module):
     """
 
     cfg: DPTConfig
+    # static geometry may be fixed at construction instead of call time so
+    # the head can be nn.scan'ed over view chunks (scan passes arrays only)
+    images_hw: Optional[Tuple[int, int]] = None
+    patch_start_idx: Optional[int] = None
 
     @nn.compact
     def __call__(
         self,
         aggregated_tokens_list: Sequence[jax.Array],
-        images_hw: Tuple[int, int],
-        patch_start_idx: int,
+        images_hw: Optional[Tuple[int, int]] = None,
+        patch_start_idx: Optional[int] = None,
     ):
         cfg = self.cfg
+        images_hw = images_hw if images_hw is not None else self.images_hw
+        if patch_start_idx is None:
+            patch_start_idx = self.patch_start_idx
         H, W = images_hw
         p = cfg.patch_size
         ph, pw = H // p, W // p

@@ -20,7 +20,7 @@ replicated here.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,19 +38,24 @@ class PartHead(nn.Module):
     """Fuse projector + point features into per-pixel instance embeddings."""
 
     cfg: PartHeadConfig
+    # optional construction-time statics (for nn.scan over view chunks)
+    images_hw: Optional[Tuple[int, int]] = None
+    batch_dims: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(
         self,
         projector_features: Sequence[jax.Array],
         point_features: Sequence[jax.Array],
-        images_hw: Tuple[int, int],
-        batch_dims: Tuple[int, int],
+        images_hw: Optional[Tuple[int, int]] = None,
+        batch_dims: Optional[Tuple[int, int]] = None,
     ) -> jax.Array:
         """projector_features: 4 NHWC maps with batch B*S (res1..res4);
         point_features: 3 NHWC maps with batch B*S (out2, out3, out4).
         Returns (B, S, H', W', output_dim) raw features."""
         cfg = self.cfg
+        images_hw = images_hw if images_hw is not None else self.images_hw
+        batch_dims = batch_dims if batch_dims is not None else self.batch_dims
         B, S = batch_dims
         H, W = images_hw
         p = cfg.patch_size

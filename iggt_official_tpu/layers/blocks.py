@@ -114,13 +114,15 @@ class Attention(nn.Module):
     proj_bias: bool = True
     qk_norm: bool = False
     dtype: Dtype = jnp.float32
+    # injected attention implementation (XLA softmax / Pallas flash / sharded);
+    # a module attribute rather than a call arg so blocks stay remat-friendly
+    attn_fn: Callable = sdpa_xla
 
     @nn.compact
     def __call__(
         self,
         x: jax.Array,
         rope: Optional[Rope2DTables] = None,
-        attn_fn: Callable = sdpa_xla,
     ) -> jax.Array:
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
@@ -141,7 +143,7 @@ class Attention(nn.Module):
             q = apply_rope_2d(q, rope)
             k = apply_rope_2d(k, rope)
 
-        out = attn_fn(q, k, v)
+        out = self.attn_fn(q, k, v)
         out = out.reshape(B, N, C)
         return nn.Dense(self.dim, use_bias=self.proj_bias, dtype=self.dtype,
                         name="proj")(out)
@@ -196,23 +198,22 @@ class Block(nn.Module):
     dtype: Dtype = jnp.float32
     # torch nn.LayerNorm default; the DINOv2 ViT overrides to 1e-6
     ln_eps: float = 1e-5
+    attn_fn: Callable = sdpa_xla
 
     @nn.compact
     def __call__(
         self,
         x: jax.Array,
         rope: Optional[Rope2DTables] = None,
-        attn_fn: Callable = sdpa_xla,
     ) -> jax.Array:
         attn_out = Attention(
             dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             proj_bias=self.proj_bias, qk_norm=self.qk_norm, dtype=self.dtype,
-            name="attn",
+            attn_fn=self.attn_fn, name="attn",
         )(
             nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="norm1")(x)
             .astype(self.dtype),
             rope=rope,
-            attn_fn=attn_fn,
         )
         if self.init_values is not None:
             attn_out = LayerScale(self.dim, self.init_values, name="ls1")(attn_out)

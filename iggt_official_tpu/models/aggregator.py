@@ -57,12 +57,18 @@ class Aggregator(nn.Module):
 
     cfg: AggregatorConfig
     dtype: jnp.dtype = jnp.float32
+    attn_fn: Callable = sdpa_xla
+    # rematerialize each AA block under grad (parity with the reference's
+    # per-block gradient checkpointing, `aggregator.py:293-299,323-329`)
+    remat: bool = False
+    # optional sharding-constraint hook (tokens, "frame"|"global") -> tokens,
+    # see iggt_official_tpu.parallel.make_token_sharder
+    shard_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(
         self,
         images: jax.Array,
-        attn_fn: Callable = sdpa_xla,
     ) -> Tuple[List[jax.Array], int]:
         cfg = self.cfg
         B, S, H, W, C_in = images.shape
@@ -108,8 +114,10 @@ class Aggregator(nn.Module):
                 lambda t: t.reshape(B, S * P, t.shape[-1]), rope_frame
             )
 
+        block_cls = nn.remat(Block) if self.remat else Block
+
         def make_block(kind: str, i: int) -> Block:
-            return Block(
+            return block_cls(
                 dim=C,
                 num_heads=cfg.num_heads,
                 mlp_ratio=cfg.mlp_ratio,
@@ -119,6 +127,7 @@ class Aggregator(nn.Module):
                 init_values=cfg.init_values,
                 qk_norm=cfg.qk_norm,
                 dtype=self.dtype,
+                attn_fn=self.attn_fn,
                 name=f"{kind}_blocks_{i}",
             )
 
@@ -127,15 +136,15 @@ class Aggregator(nn.Module):
             for attn_type in cfg.aa_order:
                 if attn_type == "frame":
                     tokens = tokens.reshape(B * S, P, C)
-                    tokens = make_block("frame", i)(
-                        tokens, rope=rope_frame, attn_fn=attn_fn
-                    )
+                    if self.shard_fn is not None:
+                        tokens = self.shard_fn(tokens, "frame")
+                    tokens = make_block("frame", i)(tokens, rope_frame)
                     frame_inter = tokens.reshape(B, S, P, C)
                 elif attn_type == "global":
                     tokens = tokens.reshape(B, S * P, C)
-                    tokens = make_block("global", i)(
-                        tokens, rope=rope_global, attn_fn=attn_fn
-                    )
+                    if self.shard_fn is not None:
+                        tokens = self.shard_fn(tokens, "global")
+                    tokens = make_block("global", i)(tokens, rope_global)
                     global_inter = tokens.reshape(B, S, P, C)
                 else:
                     raise ValueError(f"Unknown attention type: {attn_type}")

@@ -37,6 +37,79 @@ def _dtype(name: str) -> jnp.dtype:
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
 
 
+def _chunk_views(x, B, nc, cs):
+    """Add a leading chunk axis over the view dim.
+
+    (B, S, ...) -> (nc, B, cs, ...);  flat (B*S, ...) -> (nc, B*cs, ...).
+    """
+    if x.shape[0] == B:
+        return x.reshape(B, nc, cs, *x.shape[2:]).swapaxes(0, 1)
+    return (
+        x.reshape(B, nc, cs, *x.shape[1:])
+        .swapaxes(0, 1)
+        .reshape(nc, B * cs, *x.shape[1:])
+    )
+
+
+def _unchunk_views(x, B, nc, cs):
+    """Inverse of `_chunk_views` on scan outputs."""
+    if x.shape[1] == B:            # (nc, B, cs, ...)
+        return x.swapaxes(0, 1).reshape(B, nc * cs, *x.shape[3:])
+    # (nc, B*cs, ...)
+    rest = x.shape[2:]
+    return (
+        x.reshape(nc, B, cs, *rest).swapaxes(0, 1).reshape(B * nc * cs, *rest)
+    )
+
+
+def _scan_chunks(head, args, nc):
+    """Apply `head(*args)` serially over a leading chunk axis via nn.scan.
+
+    TPU equivalent of the reference's ``frames_chunk_size`` memory bound
+    (`dpt_head.py:154-190`): the fp32 full-resolution decode of each view
+    chunk is serialized, so peak HBM is O(chunk) instead of O(S).  Params
+    are broadcast, so parameter names are identical to the unscanned path.
+    """
+
+    def _body(mdl, carry, xs):
+        return carry, mdl(*xs)
+
+    scanned = nn.scan(
+        _body,
+        variable_broadcast="params",
+        split_rngs={"params": False},
+        in_axes=0,
+        out_axes=0,
+        length=nc,
+    )
+    _, out = scanned(head, None, args)
+    return out
+
+
+def _view_chunking(S, chunk_size):
+    """(nc, cs) if chunking applies, else None."""
+    cs = chunk_size
+    if cs and S > cs and S % cs == 0:
+        return S // cs, cs
+    return None
+
+
+def _apply_dpt_chunked(cfg_head, name, tokens_list, images_hw, patch_start_idx):
+    """DPTHead over view chunks (falls back to one call when not needed)."""
+    B, S = tokens_list[0].shape[0], tokens_list[0].shape[1]
+    plan = _view_chunking(S, cfg_head.frames_chunk_size)
+    head = DPTHead(
+        cfg_head, images_hw=images_hw, patch_start_idx=patch_start_idx, name=name
+    )
+    if plan is None:
+        return head(tokens_list)
+    nc, cs = plan
+    out = _scan_chunks(
+        head, ([_chunk_views(t, B, nc, cs) for t in tokens_list],), nc
+    )
+    return jax.tree.map(lambda x: _unchunk_views(x, B, nc, cs), out)
+
+
 class VGGT(nn.Module):
     """Pose + depth + point (+track) model (`vggt.py:14-130`)."""
 
@@ -48,15 +121,17 @@ class VGGT(nn.Module):
         images: jax.Array,
         query_points: Optional[jax.Array] = None,
         attn_fn: Callable = sdpa_xla,
+        remat: bool = False,
+        shard_fn: Optional[Callable] = None,
     ) -> Dict[str, jax.Array]:
         cfg = self.cfg
         B, S, H, W, _ = images.shape
         tokens_list, patch_start_idx = Aggregator(
             cfg.aggregator.with_vit(), dtype=_dtype(cfg.trunk_dtype),
-            name="aggregator",
-        )(images, attn_fn=attn_fn)
-        # heads run fp32 (`vggt.py:189`)
-        tokens_list = [t.astype(jnp.float32) for t in tokens_list]
+            attn_fn=attn_fn, remat=remat, shard_fn=shard_fn, name="aggregator",
+        )(images)
+        # tokens stay in trunk dtype (bf16) in HBM; heads upcast to fp32 at
+        # their entry (`vggt.py:189` equivalent)
 
         preds: Dict[str, jax.Array] = {}
         if cfg.enable_camera:
@@ -64,15 +139,15 @@ class VGGT(nn.Module):
             preds["pose_enc"] = pose_list[-1]
             preds["pose_enc_list"] = pose_list
         if cfg.enable_depth:
-            depth, depth_conf = DPTHead(cfg.depth_head, name="depth_head")(
-                tokens_list, (H, W), patch_start_idx
+            depth, depth_conf = _apply_dpt_chunked(
+                cfg.depth_head, "depth_head", tokens_list, (H, W), patch_start_idx
             )
             preds["depth"] = depth
             preds["depth_conf"] = depth_conf
         if cfg.enable_point:
-            pts3d, pts3d_conf = DPTHead(
-                cfg.point_head, name="point_head"
-            )(tokens_list, (H, W), patch_start_idx)
+            pts3d, pts3d_conf = _apply_dpt_chunked(
+                cfg.point_head, "point_head", tokens_list, (H, W), patch_start_idx
+            )
             preds["world_points"] = pts3d
             preds["world_points_conf"] = pts3d_conf
         return preds
@@ -89,14 +164,17 @@ class IGGT(nn.Module):
         images: jax.Array,
         query_points: Optional[jax.Array] = None,
         attn_fn: Callable = sdpa_xla,
+        remat: bool = False,
+        shard_fn: Optional[Callable] = None,
     ) -> Dict[str, jax.Array]:
         cfg = self.cfg
         B, S, H, W, _ = images.shape
         tokens_list, patch_start_idx = Aggregator(
             cfg.aggregator.with_vit(), dtype=_dtype(cfg.trunk_dtype),
-            name="aggregator",
-        )(images, attn_fn=attn_fn)
-        tokens_list = [t.astype(jnp.float32) for t in tokens_list]
+            attn_fn=attn_fn, remat=remat, shard_fn=shard_fn, name="aggregator",
+        )(images)
+        # tokens stay in trunk dtype (bf16) in HBM — 24 x (B,S,P,2048) maps;
+        # every head upcasts to fp32 at its entry (`vggt.py:189` equivalent)
 
         preds: Dict[str, jax.Array] = {}
         if cfg.enable_camera:
@@ -105,32 +183,46 @@ class IGGT(nn.Module):
             preds["pose_enc_list"] = pose_list
 
         if cfg.enable_depth:
-            depth, depth_conf = DPTHead(cfg.depth_head, name="depth_head")(
-                tokens_list, (H, W), patch_start_idx
+            depth, depth_conf = _apply_dpt_chunked(
+                cfg.depth_head, "depth_head", tokens_list, (H, W), patch_start_idx
             )
             preds["depth"] = depth
             preds["depth_conf"] = depth_conf
 
         point_pyramid = None
         if cfg.enable_point:
-            pts3d, pts3d_conf, point_pyramid = DPTHead(
-                cfg.point_head, name="point_head"
-            )(tokens_list, (H, W), patch_start_idx)
+            pts3d, pts3d_conf, point_pyramid = _apply_dpt_chunked(
+                cfg.point_head, "point_head", tokens_list, (H, W), patch_start_idx
+            )
             preds["world_points"] = pts3d
             preds["world_points_conf"] = pts3d_conf
 
         if cfg.enable_part:
             assert point_pyramid is not None, "part head needs the point pyramid"
-            projector = SamProjector(
+            plan = _view_chunking(S, cfg.part.frames_chunk_size)
+            cs = plan[1] if plan else S
+            projector_head = SamProjector(
                 dim_in=cfg.part.dim_in,
                 patch_size=cfg.part.patch_size,
                 intermediate_layer_idx=cfg.part.intermediate_layer_idx,
                 out_channels=cfg.part.out_channels,
+                images_hw=(H, W),
+                patch_start_idx=patch_start_idx,
                 name="part_adaptor",
-            )(tokens_list, (H, W), patch_start_idx)
-            part_feat = PartHead(cfg.part, name="part_head")(
-                projector, point_pyramid, (H, W), (B, S)
             )
+            part_head = PartHead(
+                cfg.part, images_hw=(H, W), batch_dims=(B, cs), name="part_head"
+            )
+            if plan is None:
+                projector = projector_head(tokens_list)
+                part_feat = part_head(projector, point_pyramid)
+            else:
+                nc, cs = plan
+                ctoks = [_chunk_views(t, B, nc, cs) for t in tokens_list]
+                cpyr = [_chunk_views(t, B, nc, cs) for t in point_pyramid]
+                projector = _scan_chunks(projector_head, (ctoks,), nc)
+                part_feat = _scan_chunks(part_head, (projector, cpyr), nc)
+                part_feat = _unchunk_views(part_feat, B, nc, cs)
             preds["part_feat"] = part_feat
 
         return preds

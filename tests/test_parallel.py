@@ -1,0 +1,97 @@
+"""Mesh sharding + sharded train step on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from iggt_official_tpu.config import ModelConfig
+from iggt_official_tpu.models.vggt import IGGT, VGGT
+from iggt_official_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    make_token_sharder,
+)
+from iggt_official_tpu.train.step import TrainState, make_optimizer, make_train_step
+
+
+@pytest.fixture(scope="module")
+def mesh(cpu_devices):
+    assert len(cpu_devices) >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(n_data=2, n_seq=4, devices=cpu_devices[:8])
+
+
+def _tiny_model(trunk_dtype="bfloat16"):
+    import dataclasses
+
+    cfg = ModelConfig().scaled(
+        embed_dim=32, depth=2, num_heads=2, img_size=28, patch_embed="conv"
+    )
+    cfg = dataclasses.replace(cfg, trunk_dtype=trunk_dtype)
+    return IGGT(cfg), cfg
+
+
+def test_sharded_forward_matches_single_device(mesh):
+    # fp32 trunk: isolates collective correctness from bf16 reduction noise
+    # (the camera head's 4 recursive refinement iterations amplify any
+    # input perturbation, so bf16 would need uselessly loose tolerances)
+    model, cfg = _tiny_model(trunk_dtype="float32")
+    rng = np.random.default_rng(0)
+    B, S, H, W = 2, 4, 28, 28
+    images = rng.uniform(0, 1, (B, S, H, W, 3)).astype(np.float32)
+
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(images))
+    ref = model.apply(params, jnp.asarray(images))
+
+    shard_fn = make_token_sharder(mesh)
+    sharded_images = jax.device_put(images, batch_sharding(mesh))
+    out = jax.jit(lambda p, x: model.apply(p, x, shard_fn=shard_fn))(
+        params, sharded_images
+    )
+    # collectives reorder reductions; through the bf16 trunk that gives
+    # ~1e-3-level drift, not bitwise equality
+    for k in ["depth", "world_points", "pose_enc", "part_feat"]:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), rtol=5e-3, atol=2e-3
+        )
+
+
+def test_sharded_train_step(mesh):
+    model, cfg = _tiny_model()
+    rng = np.random.default_rng(1)
+    B, S, H, W = 2, 4, 28, 28
+    batch = {
+        "images": rng.uniform(0, 1, (B, S, H, W, 3)).astype(np.float32),
+        "pose_enc": rng.normal(0, 1, (B, S, 9)).astype(np.float32),
+        "depth": rng.uniform(0.5, 2, (B, S, H, W, 1)).astype(np.float32),
+        "world_points": rng.normal(0, 1, (B, S, H, W, 3)).astype(np.float32),
+        "valid_mask": np.ones((B, S, H, W), np.float32),
+        "instance_ids": rng.integers(0, 4, (B, S, H, W)).astype(np.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["images"]))[
+        "params"
+    ]
+    tx = make_optimizer(params, layer_decay=0.9, num_layers=cfg.aggregator.depth)
+    state = TrainState.create(params, tx)
+
+    step = make_train_step(model, mesh=mesh)
+    sharded = {k: jax.device_put(v, batch_sharding(mesh)) for k, v in batch.items()}
+    # host snapshot first: the step donates the state's buffers
+    params_before = jax.tree.map(np.asarray, state.params)
+    new_state, metrics = step(state, sharded)
+    assert int(new_state.step) == 1
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    # params actually changed
+    delta = jax.tree.reduce(
+        lambda a, b: a + float(np.abs(b).sum()),
+        jax.tree.map(lambda a, b: np.asarray(a) - b, new_state.params, params_before),
+        0.0,
+    )
+    assert delta > 0
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
