@@ -1,0 +1,362 @@
+"""Scene-processing demo: images -> depth / points / poses / instance masks.
+
+Behavioural parity: `demo.py` (`IGGTProcessor`):
+- `_load_model` (`demo.py:102-121`): build IGGT, load a checkpoint (orbax
+  natively, or a reference PyTorch ``.pth`` through the converter with
+  strict=False alignment).
+- `process_scene` (`demo.py:123-176`): load + preprocess images (resize mode
+  at (504, 336) by default, `demo.py:59`), one jitted bf16 forward, post-
+  process (pose decode, unprojection, PCA colormap, KNN smoothing, joint
+  clustering), evaluate against GT when `depth/` + `cam/` exist, save
+  predictions.npz / depth PNGs / GLB exports.
+
+Usage:
+    python -m iggt_official_tpu.app.demo --target_dir <scene> --save_dir out \
+        [--model_path ckpt] [--preset large] [--image_size 504 336]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import logging
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from iggt_official_tpu.config import (
+    CLUSTERING_LARGE,
+    CLUSTERING_MEDIUM,
+    CLUSTERING_SMALL,
+    ClusteringConfig,
+    ModelConfig,
+    RuntimeConfig,
+)
+from iggt_official_tpu.eval.metrics import SceneEvaluator
+from iggt_official_tpu.geometry import (
+    closed_form_inverse_se3,
+    depth_to_world_coords_points,
+    pose_encoding_to_extri_intri,
+    unproject_depth_map_to_point_map,
+)
+from iggt_official_tpu.models.vggt import IGGT
+from iggt_official_tpu.ops.cluster import cluster_features_to_masks_mv
+from iggt_official_tpu.ops.flash_attention import attention
+from iggt_official_tpu.ops.knn import knn_smooth_features
+from iggt_official_tpu.ops.pca import apply_pca_colormap
+from iggt_official_tpu.utils.glb import predictions_to_glb
+from iggt_official_tpu.utils.images import load_and_preprocess_images
+
+logger = logging.getLogger(__name__)
+
+CLUSTERING_PRESETS = {
+    "small": CLUSTERING_SMALL,
+    "medium": CLUSTERING_MEDIUM,
+    "large": CLUSTERING_LARGE,
+}
+
+
+def threshold_depth_map(
+    depth_map: np.ndarray,
+    max_percentile: float = 99,
+    min_percentile: float = 1,
+    max_depth: float = -1,
+) -> np.ndarray:
+    """Percentile depth thresholding (`iggt/datasets/utils/misc.py:488-541`)."""
+    if max_depth > 0:
+        depth_map[depth_map > max_depth] = 0.0
+    if max_percentile > 0:
+        hi = np.nanpercentile(depth_map, max_percentile)
+        if hi > 0:
+            depth_map[depth_map > hi] = 0.0
+    if min_percentile > 0:
+        lo = np.nanpercentile(depth_map, min_percentile)
+        if lo > 0:
+            depth_map[depth_map < lo] = 0.0
+    return depth_map
+
+
+class IGGTProcessor:
+    """End-to-end scene processor (`demo.py:85-213`)."""
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        model_cfg: Optional[ModelConfig] = None,
+        runtime: Optional[RuntimeConfig] = None,
+    ):
+        self.cfg = model_cfg or ModelConfig()
+        self.runtime = runtime or RuntimeConfig()
+        self.model = IGGT(self.cfg)
+        self.evaluator = SceneEvaluator()
+        self.params = self._load_model(model_path)
+        attn = attention if self.runtime.use_flash_attention else None
+        if attn is None:
+            self._forward = jax.jit(lambda p, x: self.model.apply(p, x))
+        else:
+            self._forward = jax.jit(
+                lambda p, x: self.model.apply(p, x, attn_fn=attn)
+            )
+
+    # ------------------------------------------------------------------
+    def _load_model(self, model_path: Optional[str]):
+        W, H = self.runtime.image_size
+        rng = np.random.default_rng(0)
+        init_images = jnp.asarray(
+            rng.uniform(0, 1, (1, 1, 14 * 2, 14 * 2, 3)).astype(np.float32)
+        )
+        variables = jax.jit(self.model.init)(jax.random.PRNGKey(0), init_images)
+        params = variables["params"]
+        if model_path is None:
+            logger.warning("No checkpoint given — running with random weights")
+            return {"params": params}
+        if model_path.endswith((".pth", ".pt", ".bin")):
+            from iggt_official_tpu.utils.checkpoint import load_torch_checkpoint
+
+            merged, _report = load_torch_checkpoint(model_path, params,
+                                                    log=logger.info)
+            return {"params": jax.tree.map(jnp.asarray, merged)}
+        from iggt_official_tpu.utils.checkpoint import load_checkpoint
+
+        return {"params": load_checkpoint(model_path, target=params)}
+
+    # ------------------------------------------------------------------
+    def process_scene(self, target_dir: str, save_dir: str) -> Dict[str, Any]:
+        t0 = time.time()
+        os.makedirs(save_dir, exist_ok=True)
+
+        gt_data = self._load_gt_data(target_dir)
+        preds = self._run_inference(target_dir)
+        preds = self._post_process(preds)
+
+        results: Dict[str, Any] = {"predictions": preds}
+        if gt_data is not None:
+            report = self.evaluator.evaluate_scene(
+                gt_data,
+                {
+                    "depth": preds["depth"][..., 0],
+                    "extrinsic": preds["extrinsic"],
+                },
+            )
+            self.evaluator.save_evaluation_report(
+                report, os.path.join(save_dir, "evaluation_report.json")
+            )
+            self.evaluator.print_summary(report)
+            results["evaluation"] = report
+
+        self._save_predictions(preds, save_dir)
+        self._export_glbs(preds, save_dir)
+        logger.info("Total processing time: %.2f seconds", time.time() - t0)
+        return results
+
+    # ------------------------------------------------------------------
+    def _run_inference(self, target_dir: str) -> Dict[str, np.ndarray]:
+        image_paths = sorted(
+            glob.glob(os.path.join(target_dir, "images", "*"))
+        ) or sorted(glob.glob(os.path.join(target_dir, "*.jpg")))
+        if not image_paths:
+            raise FileNotFoundError(f"no images under {target_dir}")
+        W, H = self.runtime.image_size
+        images = load_and_preprocess_images(
+            image_paths, mode="resize", resize_target_size=(W, H)
+        )  # (S, H, W, 3)
+        out = self._forward(self.params, jnp.asarray(images[None]))
+        preds = {
+            k: np.asarray(v)
+            for k, v in out.items()
+            if k != "pose_enc_list"
+        }
+        preds["images"] = images
+        return preds
+
+    # ------------------------------------------------------------------
+    def _post_process(self, preds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """`demo.py:333-401`: decode poses, unproject, cluster features."""
+        S, H, W = preds["images"].shape[:3]
+        extri, intri = pose_encoding_to_extri_intri(
+            jnp.asarray(preds["pose_enc"]), (H, W)
+        )
+        preds["extrinsic"] = np.asarray(extri)[0]  # (S, 3, 4)
+        preds["intrinsic"] = np.asarray(intri)[0]
+
+        for k in ("depth", "depth_conf", "world_points", "world_points_conf",
+                  "part_feat"):
+            if k in preds:
+                preds[k] = preds[k][0]  # drop batch dim
+
+        # depth-based world points (`demo.py:349-357`)
+        preds["world_points_from_depth"] = np.asarray(
+            unproject_depth_map_to_point_map(
+                jnp.asarray(preds["depth"]),
+                jnp.asarray(preds["extrinsic"]),
+                jnp.asarray(preds["intrinsic"]),
+            )
+        )
+
+        if "part_feat" in preds:
+            feat = jnp.asarray(preds["part_feat"])
+            feat = feat / jnp.maximum(
+                jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12
+            )
+            preds["part_feat_pca"] = np.asarray(apply_pca_colormap(feat))
+            smoothed = knn_smooth_features(
+                jnp.asarray(preds["world_points"]), feat,
+                k=self.runtime.clustering.knn_k,
+            )
+            cc = self.runtime.clustering
+            masks, colored = cluster_features_to_masks_mv(
+                np.asarray(smoothed),
+                apply_colormap=True,
+                eps=cc.eps,
+                min_samples=cc.min_samples,
+                min_cluster_size=cc.min_cluster_size,
+            )
+            preds["instance_masks"] = masks
+            preds["instance_masks_colored"] = colored
+        return preds
+
+    # ------------------------------------------------------------------
+    def _load_gt_data(self, target_dir: str) -> Optional[Dict[str, Any]]:
+        """GT per-frame npz pose/intrinsics + 16-bit depth (`demo.py:215-309`)."""
+        import cv2
+
+        images_dir = os.path.join(target_dir, "images")
+        depth_dir = os.path.join(target_dir, "depth")
+        cam_dir = os.path.join(target_dir, "cam")
+        if not os.path.exists(depth_dir):
+            depth_dir = os.path.join(target_dir, "gt_depth")
+        if not os.path.exists(cam_dir):
+            cam_dir = os.path.join(target_dir, "gt_cam")
+        if not (os.path.exists(depth_dir) and os.path.exists(cam_dir)):
+            return None
+
+        image_paths = sorted(glob.glob(os.path.join(images_dir, "*")))
+        depth_paths = sorted(glob.glob(os.path.join(depth_dir, "*.png")))
+        cam_paths = sorted(glob.glob(os.path.join(cam_dir, "*.npz")))
+        if not (len(image_paths) == len(depth_paths) == len(cam_paths)):
+            logger.warning("GT file count mismatch — skipping evaluation")
+            return None
+
+        exts, ints, depths, worlds = [], [], [], []
+        for depth_path, cam_path in zip(depth_paths, cam_paths):
+            cam = np.load(cam_path)
+            pose = np.asarray(cam["pose"], np.float32)
+            K = np.asarray(cam["intrinsics"], np.float32)
+            assert pose.shape == (4, 4) and K.shape == (3, 3)
+            depth = cv2.imread(depth_path, cv2.IMREAD_UNCHANGED)
+            depth = depth.astype(np.float32) / 1000.0
+            depth[~np.isfinite(depth)] = 0
+            depth = threshold_depth_map(depth, max_percentile=99,
+                                        min_percentile=-1)
+            camera_pose = np.asarray(
+                closed_form_inverse_se3(jnp.asarray(pose[None]))
+            )[0]
+            world, _, _ = depth_to_world_coords_points(
+                jnp.asarray(depth), jnp.asarray(camera_pose[:3]),
+                jnp.asarray(K),
+            )
+            exts.append(camera_pose[:3])
+            ints.append(K)
+            depths.append(depth)
+            worlds.append(np.asarray(world))
+        return {
+            "gt_extrinsic": np.stack(exts),
+            "gt_intrinsic": np.stack(ints),
+            "gt_depth": np.stack(depths),
+            "gt_world_points": np.stack(worlds),
+            "image_paths": image_paths,
+        }
+
+    # ------------------------------------------------------------------
+    def _save_predictions(self, preds: Dict[str, np.ndarray], save_dir: str):
+        np.savez(
+            os.path.join(save_dir, "predictions.npz"),
+            **{k: v for k, v in preds.items() if isinstance(v, np.ndarray)},
+        )
+        self._save_depth_visualizations(preds["depth"][..., 0], save_dir)
+        if "instance_masks_colored" in preds:
+            from PIL import Image
+
+            mask_dir = os.path.join(save_dir, "masks")
+            os.makedirs(mask_dir, exist_ok=True)
+            for i, frame in enumerate(preds["instance_masks_colored"]):
+                Image.fromarray(frame).save(
+                    os.path.join(mask_dir, f"mask_{i:04d}.png")
+                )
+        if "part_feat_pca" in preds:
+            from PIL import Image
+
+            pca_dir = os.path.join(save_dir, "pca")
+            os.makedirs(pca_dir, exist_ok=True)
+            for i, frame in enumerate(preds["part_feat_pca"]):
+                Image.fromarray((frame * 255).astype(np.uint8)).save(
+                    os.path.join(pca_dir, f"pca_{i:04d}.png")
+                )
+
+    def _save_depth_visualizations(self, depths: np.ndarray, save_dir: str):
+        """Percentile-normalized colormap PNGs (`demo.py:435-609`)."""
+        from PIL import Image
+        from matplotlib import colormaps
+
+        depth_dir = os.path.join(save_dir, "depth_vis")
+        os.makedirs(depth_dir, exist_ok=True)
+        cmap = colormaps.get_cmap("jet")
+        lo, hi = np.percentile(depths, [2, 98])
+        for i, d in enumerate(depths):
+            normed = np.clip((d - lo) / max(hi - lo, 1e-12), 0, 1)
+            rgb = (cmap(normed)[..., :3] * 255).astype(np.uint8)
+            Image.fromarray(rgb).save(
+                os.path.join(depth_dir, f"depth_{i:04d}.png")
+            )
+        np.save(os.path.join(depth_dir, "depth.npy"), depths)
+
+    # ------------------------------------------------------------------
+    def _export_glbs(self, preds: Dict[str, np.ndarray], save_dir: str):
+        """rgb | mask | pca GLB exports (`demo.py:618-657`)."""
+        pts = preds["world_points"]
+        conf = preds.get("world_points_conf")
+        modes = {"rgb": preds["images"]}
+        if "instance_masks_colored" in preds:
+            modes["mask"] = preds["instance_masks_colored"].astype(np.float32) / 255
+        if "part_feat_pca" in preds:
+            modes["pca"] = preds["part_feat_pca"]
+        for name, colors in modes.items():
+            predictions_to_glb(
+                pts,
+                colors,
+                conf=conf,
+                extrinsics=preds.get("extrinsic"),
+                conf_threshold=self.runtime.conf_threshold,
+                path=os.path.join(save_dir, f"scene_{name}.glb"),
+            )
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="IGGT TPU demo")
+    parser.add_argument("--target_dir", required=True)
+    parser.add_argument("--save_dir", required=True)
+    parser.add_argument("--model_path", default=None)
+    parser.add_argument("--preset", default="large",
+                        choices=list(CLUSTERING_PRESETS))
+    parser.add_argument("--image_size", type=int, nargs=2, default=(504, 336),
+                        metavar=("W", "H"))
+    parser.add_argument("--conf_threshold", type=float, default=0.3)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    runtime = RuntimeConfig(
+        image_size=tuple(args.image_size),
+        conf_threshold=args.conf_threshold,
+        clustering=CLUSTERING_PRESETS[args.preset],
+    )
+    processor = IGGTProcessor(args.model_path, runtime=runtime)
+    processor.process_scene(args.target_dir, args.save_dir)
+
+
+if __name__ == "__main__":
+    main()

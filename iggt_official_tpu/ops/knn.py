@@ -1,0 +1,124 @@
+"""k-NN feature smoothing over 3D world points, TPU-native.
+
+Behavioural parity: `iggt/utils/misc.py:24-78` (`knn_avg_features_pyg`):
+build a k-NN graph (k=20, self excluded) over ALL views' per-pixel 3D world
+points jointly (the reference's batch tensor is all zeros, so its search is
+global, `misc.py:63`), then average each point's neighbour features.
+
+TPU design: exact k-NN over ~1.4M points needs an O(N^2) distance matrix or
+an irregular spatial index — neither maps to the MXU.  Instead we sort
+points along a Morton (Z-order) curve and take the exact k nearest among a
+2*window sorted neighbourhood: one argsort + static gathers + a top-k, all
+regular, all on-device.  Morton locality makes this a high-recall
+approximation of the true k-NN graph; the feature *average* it feeds is
+soft, so recall > ~0.9 leaves the smoothed features within test tolerance
+of the exact graph (validated in tests/test_postproc.py against a brute
+O(N^2) reference on small clouds).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _morton_codes(points: jax.Array, bits: int = 10) -> jax.Array:
+    """Interleave-bit Z-order codes for (M, 3) points, uint32."""
+    p = points.astype(jnp.float32)
+    lo = jnp.min(p, axis=0)
+    hi = jnp.max(p, axis=0)
+    scale = (2**bits - 1) / jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((p - lo) * scale, 0, 2**bits - 1).astype(jnp.uint32)
+
+    def spread(x):  # spread 10 bits to every 3rd bit
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
+# fixed rotations diversifying the space-filling curves (arbitrary but
+# deterministic well-spread orthonormal frames)
+_ROTATIONS = np.stack(
+    [
+        np.eye(3, dtype=np.float32),
+        np.array(  # 45 deg about z then 45 deg about x
+            [[0.7071, -0.7071, 0.0],
+             [0.5, 0.5, -0.7071],
+             [0.5, 0.5, 0.7071]], np.float32),
+        np.array(  # 45 deg about y then 45 deg about z
+            [[0.5, -0.7071, 0.5],
+             [0.5, 0.7071, 0.5],
+             [-0.7071, 0.0, 0.7071]], np.float32),
+    ]
+)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "window"))
+def knn_smooth_features(
+    points: jax.Array,
+    features: jax.Array,
+    k: int = 20,
+    window: int = 32,
+) -> jax.Array:
+    """Average each point's k nearest neighbours' features.
+
+    points: (..., 3); features: (..., F); leading dims are flattened into a
+    single global cloud (matching the reference's global search).  Neighbour
+    candidates are the union, over 3 rotated Morton orderings, of the
+    2*window points adjacent in each ordering (duplicates masked), from
+    which the exact k nearest are kept.
+    """
+    shape = features.shape
+    pts = points.reshape(-1, 3).astype(jnp.float32)
+    fts = features.reshape(-1, shape[-1]).astype(jnp.float32)
+    M = pts.shape[0]
+
+    offsets = jnp.concatenate(
+        [jnp.arange(-window, 0), jnp.arange(1, window + 1)]
+    )  # self excluded (loop=False in the reference)
+    rows = jnp.arange(M)[:, None]
+
+    cand_ids = []
+    for rot in _ROTATIONS:
+        order = jnp.argsort(_morton_codes(pts @ jnp.asarray(rot).T))
+        pos = rows + offsets[None, :]  # position in this sorted order
+        valid = (pos >= 0) & (pos < M)
+        ids = order[jnp.clip(pos, 0, M - 1)]  # sorted-pos -> global id
+        # each point's own row in sorted order maps back: candidates of the
+        # point at sorted position i are order[i +/- offsets]; scatter them
+        # to the point id order[i]
+        own = order  # (M,) global id of sorted position i
+        gathered = jnp.full((M, offsets.shape[0]), -1, jnp.int32)
+        gathered = gathered.at[own].set(
+            jnp.where(valid, ids, -1).astype(jnp.int32)
+        )
+        cand_ids.append(gathered)
+
+    cand = jnp.concatenate(cand_ids, axis=1)  # (M, 3*2w) global ids, -1 pad
+    # mask duplicates: sort ids per row, invalidate repeats
+    cand_sorted = jnp.sort(cand, axis=1)
+    dup = jnp.concatenate(
+        [
+            jnp.zeros((M, 1), bool),
+            cand_sorted[:, 1:] == cand_sorted[:, :-1],
+        ],
+        axis=1,
+    )
+    cand_ok = (cand_sorted >= 0) & ~dup
+    safe = jnp.clip(cand_sorted, 0, M - 1)
+
+    d2 = jnp.sum((pts[safe] - pts[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(cand_ok, d2, jnp.inf)
+
+    _, nbr = jax.lax.top_k(-d2, k)  # (M, k) indices into candidate axis
+    nbr_idx = jnp.take_along_axis(safe, nbr, axis=1)
+    smoothed = jnp.mean(fts[nbr_idx], axis=1)
+    return smoothed.reshape(shape)

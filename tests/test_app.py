@@ -1,0 +1,129 @@
+"""App surface: image loading, GLB export, end-to-end scene processing."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from iggt_official_tpu.config import ClusteringConfig, ModelConfig, RuntimeConfig
+from iggt_official_tpu.utils.glb import predictions_to_glb
+from iggt_official_tpu.utils.images import load_and_preprocess_images
+
+
+def _write_jpg(path, w, h, seed):
+    rng = np.random.default_rng(seed)
+    Image.fromarray(rng.integers(0, 255, (h, w, 3), dtype=np.uint8)).save(path)
+
+
+def test_load_and_preprocess_modes(tmp_path):
+    p1 = tmp_path / "a.jpg"
+    _write_jpg(p1, 640, 480, 0)
+
+    out = load_and_preprocess_images([str(p1)], mode="crop")
+    assert out.shape[0] == 1 and out.shape[3] == 3
+    assert out.shape[2] == 518  # width fixed
+    assert out.shape[1] % 14 == 0
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+    out = load_and_preprocess_images([str(p1)], mode="pad")
+    assert out.shape[1:3] == (518, 518)
+
+    out = load_and_preprocess_images(
+        [str(p1)], mode="resize", resize_target_size=(504, 336)
+    )
+    assert out.shape[1:3] == (336, 504)
+
+    with pytest.raises(ValueError):
+        load_and_preprocess_images([], mode="crop")
+    with pytest.raises(ValueError):
+        load_and_preprocess_images([str(p1)], mode="resize")
+
+
+def test_load_rgba_composites_white(tmp_path):
+    p = tmp_path / "t.png"
+    arr = np.zeros((28, 28, 4), np.uint8)  # fully transparent
+    Image.fromarray(arr, "RGBA").save(p)
+    out = load_and_preprocess_images(
+        [str(p)], mode="resize", resize_target_size=(28, 28)
+    )
+    assert out.min() > 0.99  # transparent -> white
+
+
+def test_glb_export_valid_container(tmp_path):
+    rng = np.random.default_rng(0)
+    pts = rng.normal(0, 1, (2, 8, 8, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (2, 8, 8, 3)).astype(np.float32)
+    conf = rng.uniform(1, 2, (2, 8, 8)).astype(np.float32)
+    ext = np.tile(np.eye(4)[:3], (2, 1, 1)).astype(np.float32)
+    path = tmp_path / "scene.glb"
+    predictions_to_glb(pts, cols, conf=conf, extrinsics=ext,
+                       conf_threshold=0.3, path=str(path))
+    data = path.read_bytes()
+    magic, version, total = struct.unpack("<III", data[:12])
+    assert magic == 0x46546C67 and version == 2 and total == len(data)
+    json_len, json_type = struct.unpack("<II", data[12:20])
+    assert json_type == 0x4E4F534A
+    import json as _json
+
+    gltf = _json.loads(data[20 : 20 + json_len])
+    assert gltf["asset"]["version"] == "2.0"
+    modes = [m["primitives"][0]["mode"] for m in gltf["meshes"]]
+    assert 0 in modes  # the point cloud
+    assert modes.count(4) == 2  # two camera frusta
+
+
+def _make_scene(tmp_path, S=2, W=56, H=42):
+    import cv2
+
+    scene = tmp_path / "scene"
+    for sub in ("images", "depth", "cam"):
+        os.makedirs(scene / sub)
+    rng = np.random.default_rng(0)
+    for i in range(S):
+        _write_jpg(scene / "images" / f"{i:04d}.jpg", W, H, i)
+        depth_mm = rng.integers(500, 3000, (H, W)).astype(np.uint16)
+        cv2.imwrite(str(scene / "depth" / f"{i:04d}.png"), depth_mm)
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 0.1 * i
+        K = np.array(
+            [[50.0, 0, W / 2], [0, 50.0, H / 2], [0, 0, 1]], np.float32
+        )
+        np.savez(scene / "cam" / f"{i:04d}.npz", pose=pose, intrinsics=K)
+    return scene
+
+
+def test_processor_end_to_end_tiny(tmp_path):
+    """Full scene pipeline with a tiny random-weight model + synthetic GT."""
+    from iggt_official_tpu.app.demo import IGGTProcessor
+
+    scene = _make_scene(tmp_path)
+    save_dir = tmp_path / "out"
+
+    cfg = ModelConfig().scaled(
+        embed_dim=32, depth=2, num_heads=2, img_size=56, patch_embed="conv"
+    )
+    runtime = RuntimeConfig(
+        image_size=(56, 42),
+        clustering=ClusteringConfig(
+            eps=0.2, min_samples=5, min_cluster_size=10, knn_k=4
+        ),
+        use_flash_attention=False,
+    )
+    proc = IGGTProcessor(model_path=None, model_cfg=cfg, runtime=runtime)
+    results = proc.process_scene(str(scene), str(save_dir))
+
+    preds = results["predictions"]
+    assert preds["depth"].shape == (2, 42, 56, 1)
+    assert preds["extrinsic"].shape == (2, 3, 4)
+    assert preds["instance_masks"].shape == (2, 42, 56)
+    assert os.path.exists(save_dir / "predictions.npz")
+    assert os.path.exists(save_dir / "scene_rgb.glb")
+    assert os.path.exists(save_dir / "scene_mask.glb")
+    assert os.path.exists(save_dir / "scene_pca.glb")
+    assert os.path.exists(save_dir / "evaluation_report.json")
+    assert "evaluation" in results
+    assert np.isfinite(
+        results["evaluation"]["summary"]["depth"]["absrel"]
+    )

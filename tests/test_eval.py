@@ -1,0 +1,113 @@
+"""Evaluation metrics: depth, pose, instance matching, scene orchestration."""
+
+import json
+
+import numpy as np
+
+from iggt_official_tpu.eval.metrics import (
+    DepthEvaluator,
+    PoseEvaluator,
+    SceneEvaluator,
+    evaluate_matched_instances,
+    m_rel_ae,
+    masks_from_label_map,
+    thresh_inliers,
+)
+
+
+def test_m_rel_ae_and_inliers_basic():
+    gt = np.full((4, 4), 2.0)
+    pred = np.full((4, 4), 2.2)
+    np.testing.assert_allclose(m_rel_ae(gt, pred), 0.1, atol=1e-6)
+    assert thresh_inliers(gt, pred, 1.03) == 0.0
+    assert thresh_inliers(gt, gt * 1.01, 1.03) == 1.0
+    # invalid gt pixels ignored
+    gt2 = gt.copy()
+    gt2[0, 0] = 0.0
+    assert np.isfinite(m_rel_ae(gt2, pred))
+
+
+def test_depth_evaluator_median_alignment_perfect_after_scale():
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(1, 5, (16, 16)).astype(np.float32)
+    pred = gt / 3.0  # perfect up to scale
+    m = DepthEvaluator(alignment="median").evaluate_depth(gt, pred)
+    assert m["absrel"] < 1e-4
+    assert m["inliers103"] > 99.9
+    assert abs(m["scaling_factor"] - 3.0) < 1e-4
+    assert m["delta_1"] == 100.0
+
+
+def test_depth_evaluator_least_squares():
+    rng = np.random.default_rng(1)
+    gt = rng.uniform(1, 5, (16, 16)).astype(np.float32)
+    m = DepthEvaluator(alignment="least_squares").evaluate_depth(gt, gt * 0.5)
+    assert abs(m["scaling_factor"] - 2.0) < 1e-4
+    assert m["absrel"] < 1e-4
+
+
+def test_depth_evaluator_resizes_pred():
+    gt = np.full((16, 16), 2.0, np.float32)
+    pred = np.full((8, 8), 2.0, np.float32)
+    m = DepthEvaluator().evaluate_depth(gt, pred)
+    assert m["absrel"] < 1e-6
+
+
+def test_pose_evaluator_identity():
+    poses = np.tile(np.eye(4)[:3], (5, 1, 1))
+    m = PoseEvaluator().evaluate_poses(poses, poses)
+    assert m["translation_error_mean"] == 0
+    assert m["rotation_error_mean"] < 1e-3
+
+
+def test_pose_evaluator_known_rotation():
+    gt = np.tile(np.eye(4)[:3], (2, 1, 1))
+    pred = gt.copy()
+    th = np.radians(30)
+    pred[:, :3, :3] = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    )
+    pred[:, :3, 3] = [1.0, 0, 0]
+    m = PoseEvaluator().evaluate_poses(gt, pred)
+    assert abs(m["rotation_error_mean"] - 30) < 1e-4
+    assert abs(m["translation_error_mean"] - 1.0) < 1e-6
+
+
+def test_instance_matching_hungarian():
+    a = np.zeros((8, 8), bool); a[:4] = True
+    b = np.zeros((8, 8), bool); b[4:] = True
+    # pred masks slightly perturbed, order swapped
+    pa = np.zeros((8, 8), bool); pa[:4] = True; pa[3, :2] = False
+    pb = np.zeros((8, 8), bool); pb[4:] = True
+    metrics, matches = evaluate_matched_instances([a, b], [pb, pa])
+    assert metrics["num_matches"] == 2
+    assert sorted(matches) == [(0, 1), (1, 0)]
+    assert metrics["matched_miou"] > 0.9
+    assert metrics["matched_macc"] > 0.9
+
+
+def test_masks_from_label_map():
+    lm = np.array([[0, 0, 1], [2, -1, 1]])
+    masks = masks_from_label_map(lm)
+    assert len(masks) == 3
+    assert masks[0].sum() == 2
+
+
+def test_scene_evaluator_report(tmp_path):
+    rng = np.random.default_rng(2)
+    gt = {
+        "gt_depth": rng.uniform(1, 5, (3, 8, 8)).astype(np.float32),
+        "gt_extrinsic": np.tile(np.eye(4)[:3], (3, 1, 1)),
+    }
+    preds = {
+        "depth": gt["gt_depth"] * 2.0,
+        "extrinsic": gt["gt_extrinsic"],
+    }
+    ev = SceneEvaluator()
+    results = ev.evaluate_scene(gt, preds)
+    assert results["summary"]["depth"]["absrel"] < 1e-4
+    assert results["summary"]["pose"]["translation_error"] == 0
+    out = tmp_path / "report.json"
+    ev.save_evaluation_report(results, str(out))
+    loaded = json.loads(out.read_text())
+    assert "summary" in loaded

@@ -1,0 +1,136 @@
+"""Post-processing ops: PCA colormap, KNN smoothing, density clustering."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from iggt_official_tpu.ops.cluster import (
+    cluster_features_to_masks_mv,
+    colorize_masks,
+    weighted_dbscan,
+)
+from iggt_official_tpu.ops.knn import knn_smooth_features
+from iggt_official_tpu.ops.pca import apply_pca_colormap
+
+
+def test_pca_colormap_matches_torch_reference():
+    import torch
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(0, 1, (2, 16, 20, 8)).astype(np.float32)
+    # reference computation (`misc.py:272-332`)
+    t = torch.from_numpy(feats)
+    flat = t.reshape(-1, 8)
+    _, _, v = torch.pca_lowrank(flat, q=8)
+    ref = (flat @ v[:, :3]).numpy()
+    for i in range(3):
+        lo = np.quantile(ref[:, i], 0.02)
+        hi = np.quantile(ref[:, i], 0.98)
+        ref[:, i] = np.clip((ref[:, i] - lo) / (hi - lo), 0, 1)
+    ref = ref.reshape(2, 16, 20, 3)
+
+    out = np.asarray(apply_pca_colormap(jnp.asarray(feats)))
+    # principal directions are sign-ambiguous; a flipped component flips the
+    # stretched channel: accept either orientation per channel
+    for i in range(3):
+        direct = np.abs(out[..., i] - ref[..., i]).max()
+        flipped = np.abs((1 - out[..., i]) - ref[..., i]).max()
+        assert min(direct, flipped) < 5e-2, (i, direct, flipped)
+
+
+def _brute_knn_avg(points, feats, k):
+    d2 = ((points[:, None, :] - points[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    nbr = np.argsort(d2, axis=1)[:, :k]
+    return feats[nbr].mean(axis=1)
+
+
+def test_knn_smoothing_close_to_exact():
+    rng = np.random.default_rng(1)
+    N, H, W = 2, 24, 24
+    pts = rng.normal(0, 1, (N, H, W, 3)).astype(np.float32)
+    fts = rng.normal(0, 1, (N, H, W, 8)).astype(np.float32)
+
+    exact = _brute_knn_avg(pts.reshape(-1, 3), fts.reshape(-1, 8), k=8)
+    approx = np.asarray(
+        knn_smooth_features(jnp.asarray(pts), jnp.asarray(fts), k=8, window=64)
+    ).reshape(-1, 8)
+
+    # Morton-window search is approximate: demand small average error
+    err = np.linalg.norm(approx - exact, axis=1)
+    base = np.linalg.norm(exact, axis=1).mean()
+    assert err.mean() / base < 0.35, err.mean() / base
+
+
+def test_knn_smoothing_is_local_average_on_grid():
+    """On a regular grid with smooth features, knn-average ~ identity."""
+    rng = np.random.default_rng(2)
+    H = W = 16
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    pts = np.stack([xx, yy, np.zeros_like(xx)], -1).astype(np.float32)[None]
+    fts = np.stack([xx / W, yy / H], -1).astype(np.float32)[None]
+    out = np.asarray(
+        knn_smooth_features(jnp.asarray(pts), jnp.asarray(fts), k=4, window=32)
+    )
+    assert np.abs(out - fts).max() < 0.2
+
+
+def test_weighted_dbscan_blobs():
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 0.02, (300, 3)) + np.array([0, 0, 0])
+    b = rng.normal(0, 0.02, (300, 3)) + np.array([1, 1, 1])
+    pts = np.concatenate([a, b]).astype(np.float32)
+    labels = weighted_dbscan(pts, np.ones(600), eps=0.2, min_samples=10)
+    assert set(labels[:300]) == {labels[0]}
+    assert set(labels[300:]) == {labels[300]}
+    assert labels[0] != labels[300]
+
+
+def test_cluster_features_to_masks_mv():
+    rng = np.random.default_rng(4)
+    N, H, W, C = 2, 32, 32, 8
+
+    # two separated instances + a few outliers
+    base = np.zeros((N, H, W, C), np.float32)
+    e0 = np.zeros(C); e0[0] = 1.0
+    e1 = np.zeros(C); e1[1] = 1.0
+    base[:, : H // 2] = e0
+    base[:, H // 2 :] = e1
+    base += rng.normal(0, 0.01, base.shape).astype(np.float32)
+    base[0, 0, 0] = 10.0  # outlier -> noise -> reassigned to some cluster
+
+    masks = cluster_features_to_masks_mv(
+        base, eps=0.2, min_samples=20, min_cluster_size=50
+    )
+    assert masks.shape == (N, H, W)
+    assert masks.min() >= 0  # all noise reassigned
+    top = masks[:, : H // 2].reshape(-1)
+    bot = masks[:, H // 2 :].reshape(-1)
+    # each half overwhelmingly one label, and different between halves
+    t = np.bincount(top).argmax()
+    b = np.bincount(bot).argmax()
+    assert t != b
+    assert (top == t).mean() > 0.99
+    assert (bot == b).mean() > 0.99
+    # consistent ids across views
+    assert masks[0, 5, 5] == masks[1, 5, 5]
+
+    masks2, colored = cluster_features_to_masks_mv(
+        base, apply_colormap=True, eps=0.2, min_samples=20, min_cluster_size=50
+    )
+    assert colored.shape == (N, H, W, 3) and colored.dtype == np.uint8
+    # same label -> same color in both views
+    assert (colored[0, 5, 5] == colored[1, 5, 5]).all()
+
+
+def test_min_cluster_size_filters_small_clusters():
+    rng = np.random.default_rng(5)
+    C = 8
+    big = rng.normal(0, 0.01, (1, 20, 20, C)).astype(np.float32)
+    # a tiny dense cluster far away occupying 4 pixels
+    big[0, :2, :2] += 5.0
+    masks = cluster_features_to_masks_mv(
+        big, eps=0.2, min_samples=5, min_cluster_size=100
+    )
+    # the 4-pixel cluster is below min_cluster_size -> absorbed via 1-NN
+    assert len(np.unique(masks)) == 1
