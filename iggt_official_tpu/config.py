@@ -148,6 +148,7 @@ class TrackHeadConfig:
     corr_radius: int = 4
     hidden_size: int = 384
     predict_conf: bool = True
+    intermediate_layer_idx: Tuple[int, ...] = (4, 11, 17, 23)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -225,7 +226,9 @@ class ModelConfig:
             part=dataclasses.replace(
                 self.part, dim_in=2 * embed_dim,
                 intermediate_layer_idx=idx[:4]),
-            track=dataclasses.replace(self.track, dim_in=2 * embed_dim),
+            track=dataclasses.replace(
+                self.track, dim_in=2 * embed_dim,
+                intermediate_layer_idx=idx[:4]),
         )
 
 

@@ -29,6 +29,7 @@ from iggt_official_tpu.heads.adaptor import SamProjector
 from iggt_official_tpu.heads.camera_head import CameraHead
 from iggt_official_tpu.heads.dpt_head import DPTHead
 from iggt_official_tpu.heads.part_head import PartHead
+from iggt_official_tpu.heads.track import TrackHead
 from iggt_official_tpu.layers.blocks import sdpa_xla
 from iggt_official_tpu.models.aggregator import Aggregator
 
@@ -150,6 +151,15 @@ class VGGT(nn.Module):
             )
             preds["world_points"] = pts3d
             preds["world_points_conf"] = pts3d_conf
+        if cfg.enable_track and query_points is not None:
+            coord_preds, vis, conf = TrackHead(cfg.track, name="track_head")(
+                tokens_list, (H, W), patch_start_idx, query_points
+            )
+            preds["track"] = coord_preds[-1]
+            preds["vis"] = vis
+            if conf is not None:
+                preds["conf"] = conf
+
         return preds
 
 
@@ -224,6 +234,14 @@ class IGGT(nn.Module):
                 part_feat = _scan_chunks(part_head, (projector, cpyr), nc)
                 part_feat = _unchunk_views(part_feat, B, nc, cs)
             preds["part_feat"] = part_feat
+        if cfg.enable_track and query_points is not None:
+            coord_preds, vis, conf = TrackHead(cfg.track, name="track_head")(
+                tokens_list, (H, W), patch_start_idx, query_points
+            )
+            preds["track"] = coord_preds[-1]
+            preds["vis"] = vis
+            if conf is not None:
+                preds["conf"] = conf
 
         return preds
 

@@ -86,6 +86,10 @@ _RENAME_RULES: Tuple[Tuple[str, Optional[str]], ...] = (
     (r"\.conv_block\.cab\.3\.attention\.1$", ".conv_block.ca.fc1"),
     (r"\.conv_block\.cab\.3\.attention\.3$", ".conv_block.ca.fc2"),
     (r"\.conv_before_upsample\.0$", ".conv_before_upsample"),
+    # tracker Sequential heads (`base_track_predictor.py:75-81`)
+    (r"\.ffeat_updater\.0$", ".ffeat_updater"),
+    (r"\.vis_predictor\.0$", ".vis_predictor"),
+    (r"\.conf_predictor\.0$", ".conf_predictor"),
     # DPT output_conv2 Sequential indices merge to _0/_2 automatically
 )
 
