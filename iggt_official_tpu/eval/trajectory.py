@@ -1,0 +1,127 @@
+"""Visual-odometry trajectory evaluation (ATE / RPE), first-party.
+
+Behavioural parity: `iggt/utils/vo_eval.py:163-248` (`eval_metrics`), which
+wraps the external `evo` package: APE-translation RMSE with Sim(3)
+(scale-corrected) Umeyama alignment, RPE-translation and RPE-rotation over
+consecutive frames, plus TUM-format trajectory IO (`vo_eval.py:115-160`).
+Implemented directly (Umeyama 1991 closed form; no evo dependency).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def umeyama_alignment(
+    src: np.ndarray, dst: np.ndarray, with_scale: bool = True
+) -> Tuple[float, np.ndarray, np.ndarray]:
+    """Least-squares similarity transform: dst ~ s * R @ src + t.
+
+    src, dst: (N, 3).  Returns (s, R (3,3), t (3,)).
+    """
+    mu_s = src.mean(0)
+    mu_d = dst.mean(0)
+    xs = src - mu_s
+    xd = dst - mu_d
+    cov = xd.T @ xs / len(src)
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1
+    R = U @ S @ Vt
+    if with_scale:
+        var_s = (xs**2).sum() / len(src)
+        s = float(np.trace(np.diag(D) @ S) / var_s)
+    else:
+        s = 1.0
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+def _rot_angle_deg(R: np.ndarray) -> np.ndarray:
+    cos = (np.trace(R, axis1=-2, axis2=-1) - 1) / 2
+    return np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
+
+
+def ate_rmse(
+    gt_xyz: np.ndarray, pred_xyz: np.ndarray, correct_scale: bool = True
+) -> Tuple[float, Tuple[float, np.ndarray, np.ndarray]]:
+    """Absolute trajectory error RMSE after Sim(3)/SE(3) alignment."""
+    s, R, t = umeyama_alignment(pred_xyz, gt_xyz, with_scale=correct_scale)
+    aligned = (s * (R @ pred_xyz.T)).T + t
+    err = np.linalg.norm(aligned - gt_xyz, axis=1)
+    return float(np.sqrt(np.mean(err**2))), (s, R, t)
+
+
+def rpe(
+    gt_se3: np.ndarray, pred_se3: np.ndarray, delta: int = 1
+) -> Tuple[float, float]:
+    """Relative pose error over `delta`-frame steps.
+
+    gt_se3/pred_se3: (N, 4, 4) camera-to-world poses.
+    Returns (RPE-trans RMSE [m], RPE-rot RMSE [deg]).
+    """
+    def rel(poses):
+        a = np.linalg.inv(poses[:-delta])
+        return a @ poses[delta:]
+
+    rg = rel(gt_se3)
+    rp = rel(pred_se3)
+    err = np.linalg.inv(rg) @ rp
+    t_err = np.linalg.norm(err[:, :3, 3], axis=1)
+    r_err = _rot_angle_deg(err[:, :3, :3])
+    return float(np.sqrt(np.mean(t_err**2))), float(np.sqrt(np.mean(r_err**2)))
+
+
+def eval_metrics(
+    pred_se3: np.ndarray,
+    gt_se3: np.ndarray,
+    correct_scale: bool = True,
+) -> Dict[str, float]:
+    """ATE + RPE summary, mirroring `vo_eval.py:163-248`'s outputs."""
+    ate, _ = ate_rmse(gt_se3[:, :3, 3], pred_se3[:, :3, 3],
+                      correct_scale=correct_scale)
+    rpe_t, rpe_r = rpe(gt_se3, pred_se3)
+    return {"ate": ate, "rpe_trans": rpe_t, "rpe_rot": rpe_r}
+
+
+def save_trajectory_tum_format(
+    poses_se3: np.ndarray,
+    timestamps: Optional[np.ndarray],
+    path: str,
+) -> None:
+    """TUM format: `ts tx ty tz qx qy qz qw` (`vo_eval.py:115-139`)."""
+    import jax.numpy as jnp
+
+    from iggt_official_tpu.geometry.rotation import mat_to_quat
+
+    if timestamps is None:
+        timestamps = np.arange(len(poses_se3), dtype=np.float64)
+    quats = np.asarray(mat_to_quat(jnp.asarray(poses_se3[:, :3, :3])))
+    # our codec is xyzw real-last already (`rotation.py` parity notes)
+    with open(path, "w") as f:
+        for ts, pose, q in zip(timestamps, poses_se3, quats):
+            tx, ty, tz = pose[:3, 3]
+            f.write(
+                f"{ts} {tx} {ty} {tz} {q[0]} {q[1]} {q[2]} {q[3]}\n"
+            )
+
+
+def load_trajectory_tum_format(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (poses (N, 4, 4), timestamps (N,))."""
+    import jax.numpy as jnp
+
+    from iggt_official_tpu.geometry.rotation import quat_to_mat
+
+    rows = np.loadtxt(path)
+    rows = np.atleast_2d(rows)
+    ts = rows[:, 0]
+    t = rows[:, 1:4]
+    q = rows[:, 4:8]
+    R = np.asarray(quat_to_mat(jnp.asarray(q)))
+    poses = np.tile(np.eye(4), (len(rows), 1, 1))
+    poses[:, :3, :3] = R
+    poses[:, :3, 3] = t
+    return poses, ts

@@ -98,6 +98,23 @@ def install_stubs():
     _stub("torch_geometric.nn", knn_graph=None)
     _stub("torch_scatter", scatter_mean=None)
     _stub("hdbscan", HDBSCAN=None)
+    # visual_util.py top-level imports (GLB/app glue we don't compare against)
+    class _Anything:
+        def __getattr__(self, name):
+            return _Anything()
+
+        def __call__(self, *a, **k):
+            return _Anything()
+
+    trimesh_stub = _stub("trimesh")
+    trimesh_stub.Scene = _Anything
+    trimesh_stub.PointCloud = _Anything
+    trimesh_stub.Trimesh = _Anything
+    trimesh_stub.creation = _Anything()
+    trimesh_stub.transformations = _Anything()
+    _stub("gradio")
+    _stub("requests")
+    _stub("onnxruntime")
 
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
