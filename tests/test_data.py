@@ -1,0 +1,189 @@
+"""Data layer: cropping parity, ranking, algebra, samplers, scene dataset."""
+
+import os
+
+import numpy as np
+import pytest
+import PIL.Image
+
+from iggt_official_tpu.data import (
+    AnchorFrameSampler,
+    BatchedRandomSampler,
+    TestSampler,
+    collate_views,
+    compute_ranking,
+    get_data_loader,
+)
+from iggt_official_tpu.data import cropping
+from iggt_official_tpu.data.scene_dataset import Scannet
+
+from . import torch_ref
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return torch_ref.iggt_modules()
+
+
+def test_cropping_parity(ref):
+    import iggt.datasets.utils.cropping as ref_crop
+
+    rng = np.random.default_rng(0)
+    img = PIL.Image.fromarray(
+        rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+    )
+    depth = rng.uniform(0.5, 5, (120, 160)).astype(np.float32)
+    K = np.array([[100.0, 0, 82], [0, 100.0, 59], [0, 0, 1]], np.float32)
+
+    ri, rd, rk = ref_crop.rescale_image_depthmap(img, depth, K, (96, 72))
+    mi, md, mk = cropping.rescale_image_depthmap(img, depth, K, (96, 72))
+    np.testing.assert_array_equal(np.asarray(ri), np.asarray(mi))
+    np.testing.assert_array_equal(rd, md)
+    np.testing.assert_allclose(rk, mk, rtol=1e-6)
+
+    K2r = ref_crop.camera_matrix_of_crop(rk, ri.size, (80, 60))
+    K2m = cropping.camera_matrix_of_crop(mk, mi.size, (80, 60))
+    np.testing.assert_allclose(K2r, K2m, rtol=1e-6)
+
+    bb_r = ref_crop.bbox_from_intrinsics_in_out(rk, K2r, (80, 60))
+    bb_m = cropping.bbox_from_intrinsics_in_out(mk, K2m, (80, 60))
+    assert tuple(bb_r) == tuple(bb_m)
+
+    ri2, rd2, rk2, _ = ref_crop.crop_image_depthmap(ri, rd, rk, bb_r)
+    mi2, md2, mk2, _ = cropping.crop_image_depthmap(mi, md, mk, bb_m)
+    np.testing.assert_array_equal(np.asarray(ri2), np.asarray(mi2))
+    np.testing.assert_array_equal(rd2, md2)
+    np.testing.assert_allclose(rk2, mk2, rtol=1e-6)
+
+
+def test_ranking_parity(ref):
+    from iggt.datasets.utils.image_ranking import compute_ranking as ref_rank
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(1)
+    n = 12
+    ext = np.tile(np.eye(4), (n, 1, 1))
+    ext[:, :3, :3] = Rotation.random(n, random_state=1).as_matrix()
+    ext[:, :3, 3] = rng.normal(0, 2, (n, 3))
+
+    rr, rd = ref_rank(ext.copy(), lambda_t=1.0, normalize=True, batched=True)
+    mr, md = compute_ranking(ext.copy(), lambda_t=1.0, normalize=True)
+    np.testing.assert_allclose(md, rd, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(mr, np.asarray(rr))
+
+
+def _make_scene_dir(tmp_path, n_seq=1, n_frames=26, W=96, H=72):
+    import cv2
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(0)
+    root = tmp_path / "scannet"
+    for s in range(n_seq):
+        seq = root / "scans" / f"scene{s:04d}"
+        for sub in ("color", "depth", "cam"):
+            os.makedirs(seq / sub)
+        for i in range(n_frames):
+            img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+            PIL.Image.fromarray(img).save(seq / "color" / f"{i:04d}.jpg")
+            depth_mm = rng.integers(500, 3000, (H, W)).astype(np.uint16)
+            cv2.imwrite(str(seq / "depth" / f"{i:04d}.png"), depth_mm)
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = Rotation.from_rotvec(
+                [0, 0.02 * i, 0]
+            ).as_matrix()
+            pose[:3, 3] = [0.05 * i, 0, 0]
+            K = np.array(
+                [[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]], np.float32
+            )
+            np.savez(seq / "cam" / f"{i:04d}.npz", pose=pose, intrinsics=K)
+    return str(root)
+
+
+def test_scene_dataset_and_views(tmp_path):
+    root = _make_scene_dir(tmp_path)
+    ds = Scannet(root, dset="scans", resolution=(64, 48), seed=7)
+    assert len(ds) == 26
+
+    views = ds[(0, 0, 4)]  # anchor + 3 covisible
+    assert len(views) == 4
+    v = views[0]
+    assert v["img"].shape == (48, 64, 3)
+    assert v["depthmap"].shape == (48, 64)
+    assert v["pts3d"].shape == (48, 64, 3)
+    assert v["valid_mask"].dtype == bool
+    assert v["camera_pose"].shape == (4, 4)
+    # pts3d consistent with manual unprojection at a valid pixel
+    K = v["camera_intrinsics"]
+    d = v["depthmap"]
+    ys, xs = np.nonzero(v["valid_mask"])
+    y, x = ys[0], xs[0]
+    cam = np.array(
+        [(x - K[0, 2]) * d[y, x] / K[0, 0],
+         (y - K[1, 2]) * d[y, x] / K[1, 1],
+         d[y, x]]
+    )
+    world = v["camera_pose"][:3, :3] @ cam + v["camera_pose"][:3, 3]
+    np.testing.assert_allclose(v["pts3d"][y, x], world, rtol=1e-5)
+
+
+def test_dataset_algebra(tmp_path):
+    root = _make_scene_dir(tmp_path)
+    ds = Scannet(root, dset="scans", resolution=(64, 48), seed=7)
+    big = 10 @ (2 * ds + ds)
+    assert len(big) == 10
+    big.set_epoch(0)
+    views = big[(0, 1, 0, 8)]  # SeqDataset/Resized contract: 2 anchors, bs 8
+    assert len(views) == 8
+
+
+def test_samplers():
+    class Dummy:
+        def __len__(self):
+            return 30
+
+    s = BatchedRandomSampler(Dummy(), batch_size=4, pool_size=3)
+    s.set_epoch(0)
+    idxs = list(s)
+    assert len(idxs) == 28  # 30 rounded down to batch multiple
+    feats = [f for _, f in idxs]
+    for b in range(len(idxs) // 4):
+        assert len(set(feats[4 * b : 4 * b + 4])) == 1
+
+    # rank slicing covers disjoint halves
+    a = BatchedRandomSampler(Dummy(), 4, 3, world_size=2, rank=0)
+    b = BatchedRandomSampler(Dummy(), 4, 3, world_size=2, rank=1)
+    a.set_epoch(1)
+    b.set_epoch(1)
+    ia, ib = {i for i, _ in a}, {i for i, _ in b}
+    assert not (ia & ib)
+
+    afs = AnchorFrameSampler(Dummy(), batch_size=8, seq_min_len=2,
+                             seq_max_len=8, pool_size=2)
+    afs.set_epoch(0)
+    groups = list(afs)
+    assert len(groups) == 30
+    for g in groups:
+        *anchors, ar, bs = g
+        assert bs == 8 and bs % len(anchors) == 0
+        assert len(anchors) in (2, 4, 8)
+
+    ts = TestSampler(Dummy(), batch_size=1, test_batch_size=6, pool_size=2)
+    assert list(ts)[0] == (0, 0, 6)
+
+
+def test_data_loader_to_train_batch(tmp_path):
+    root = _make_scene_dir(tmp_path)
+    ds = Scannet(root, dset="scans", resolution=(56, 42), seed=7)
+    loader = get_data_loader(
+        ds, seq_min_len=2, seq_max_len=4, batch_size=4, shuffle=True,
+        num_prefetch=1,
+    )
+    batch = next(loader)
+    B, S = batch["images"].shape[:2]
+    assert B * S == 4
+    assert batch["images"].shape[2:] == (42, 56, 3)
+    assert batch["depth"].shape == (B, S, 42, 56, 1)
+    assert batch["world_points"].shape == (B, S, 42, 56, 3)
+    assert batch["valid_mask"].shape == (B, S, 42, 56)
+    assert batch["pose_enc"].shape == (B, S, 9)
+    assert np.isfinite(batch["pose_enc"]).all()

@@ -67,6 +67,16 @@ def install_stubs():
     _stub("basicsr.archs")
     _stub("basicsr.archs.arch_util", to_2tuple=to_2tuple, trunc_normal_=trunc_normal_)
 
+    class _TVF(types.ModuleType):
+        def __getattr__(self, name):
+            def factory(*a, **k):
+                return lambda x: x
+            return factory
+
+    sys.modules["torchvision"] = types.ModuleType("torchvision")
+    sys.modules["torchvision.transforms"] = _TVF("torchvision.transforms")
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+
     _stub("huggingface_hub", PyTorchModelHubMixin=object)
     if "transformers" not in sys.modules:
         # the real transformers is importable but slow; a stub is enough
@@ -98,6 +108,15 @@ def install_stubs():
     _stub("torch_geometric.nn", knn_graph=None)
     _stub("torch_scatter", scatter_mean=None)
     _stub("hdbscan", HDBSCAN=None)
+    # dataset-module imports we don't compare against numerically
+    _stub("pycocotools")
+    _stub("pycocotools.mask", decode=None, encode=None)
+    _stub("infinibatch")
+    _stub("infinibatch.iterators")
+    _stub("h5py")
+    _stub("imageio")
+    _stub("imageio.v2")
+
     # visual_util.py top-level imports (GLB/app glue we don't compare against)
     class _Anything:
         def __getattr__(self, name):
