@@ -1,0 +1,135 @@
+"""Batched 2D connected-component labeling, TPU-native.
+
+First-party replacement for the reference's only CUDA kernel
+(`sam2/csrc/connected_components.cu:205-274`,
+``get_connected_componnets(inputs[N,1,H,W uint8]) -> {labels, counts}``):
+8-connectivity components of a boolean mask, returning per-pixel component
+labels (> 0 inside the mask, 0 outside) and per-pixel component areas.
+
+Algorithm: iterative minimum-label propagation fused with pointer jumping —
+labels start as each pixel's linear index; every sweep takes the 3x3
+neighbourhood minimum (a reduce_window min) and then jumps twice through
+the label graph (labels[p] <- labels[labels[p]]), which converges in
+O(log diameter) sweeps instead of O(diameter).  All static shapes inside a
+`lax.while_loop`; areas come from one scatter-add over root labels.
+
+Used by SAM2 mask post-processing (`sam2/utils/misc.py:306-333` hole
+filling; `sam2/utils/transforms.py:74-97` small-spark removal).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.iinfo(jnp.int32).max
+
+
+def _min_pool_8(labels: jax.Array) -> jax.Array:
+    """3x3 min over the 8-neighbourhood + self, padding with INF."""
+    return -jax.lax.reduce_window(
+        -labels,
+        -_INF,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (1, 1), (1, 1)),
+    )
+
+
+@jax.jit
+def connected_components(mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """mask (B, H, W) bool -> (labels (B, H, W) int32, areas (B, H, W) int32).
+
+    Labels are 1-based component ids (the component's smallest linear pixel
+    index + 1); background pixels get label 0 and area 0.
+    """
+    B, H, W = mask.shape
+    n = H * W
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(1, H, W)
+    labels = jnp.where(mask, jnp.broadcast_to(idx, mask.shape), _INF)
+
+    def jump(flat):
+        # follow the label pointer: label value v names pixel v
+        safe = jnp.clip(flat, 0, n - 1)
+        nxt = jnp.take_along_axis(flat, safe, axis=1)
+        return jnp.where(flat == _INF, _INF, nxt)
+
+    def body(state):
+        labels, _ = state
+        prop = jnp.where(mask, _min_pool_8(labels), _INF)
+        flat = prop.reshape(B, n)
+        flat = jump(jump(flat))
+        new = flat.reshape(B, H, W)
+        return new, jnp.any(new != labels)
+
+    def cond(state):
+        return state[1]
+
+    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.asarray(True)))
+
+    flat = labels.reshape(B, n)
+    safe = jnp.where(flat == _INF, 0, flat)
+    ones = jnp.where(flat == _INF, 0, 1)
+    counts = jnp.zeros((B, n), jnp.int32)
+    counts = jax.vmap(lambda c, s, o: c.at[s].add(o))(counts, safe, ones)
+    areas = jax.vmap(lambda c, s: c[s])(counts, safe)
+    areas = jnp.where(flat == _INF, 0, areas).reshape(B, H, W)
+    out_labels = jnp.where(
+        labels == _INF, 0, labels + 1
+    ).astype(jnp.int32)
+    return out_labels, areas
+
+
+def get_connected_components(mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Reference-shaped API: (N, 1, H, W) in, (labels, counts) out
+    (`sam2/utils/misc.py:41-57`)."""
+    squeezed = mask.ndim == 4
+    m = mask[:, 0] if squeezed else mask
+    labels, areas = connected_components(m.astype(bool))
+    if squeezed:
+        labels = labels[:, None]
+        areas = areas[:, None]
+    return labels, areas
+
+
+def fill_holes_in_mask_scores(mask: jax.Array, max_area: int) -> jax.Array:
+    """Fill small background holes with +0.1 (`sam2/utils/misc.py:306-333`).
+
+    mask: (..., H, W) float scores; holes are background (<= 0) components
+    with area <= max_area."""
+    assert max_area > 0
+    shape = mask.shape
+    m = mask.reshape((-1,) + shape[-2:])
+    labels, areas = connected_components(m <= 0)
+    is_hole = (labels > 0) & (areas <= max_area)
+    return jnp.where(is_hole, 0.1, m).reshape(shape)
+
+
+def remove_small_sparks(mask: jax.Array, max_area: int) -> jax.Array:
+    """Drop small foreground components (`sam2/utils/transforms.py:74-97`
+    behaviour: holes filled AND small sparks removed)."""
+    assert max_area > 0
+    shape = mask.shape
+    m = mask.reshape((-1,) + shape[-2:])
+    labels, areas = connected_components(m > 0)
+    is_spark = (labels > 0) & (areas <= max_area)
+    return jnp.where(is_spark, -0.1, m).reshape(shape)
+
+
+def mask_to_box(masks: jax.Array) -> jax.Array:
+    """Bounding boxes (x0, y0, x1, y1) per mask (`sam2/utils/misc.py:60-95`)."""
+    *lead, H, W = masks.shape
+    m = masks.reshape((-1, H, W)).astype(bool)
+    xs = jnp.arange(W, dtype=jnp.int32)
+    ys = jnp.arange(H, dtype=jnp.int32)
+    gx = jnp.broadcast_to(xs[None, None, :], m.shape)
+    gy = jnp.broadcast_to(ys[None, :, None], m.shape)
+    min_x = jnp.min(jnp.where(m, gx, W), axis=(1, 2))
+    min_y = jnp.min(jnp.where(m, gy, H), axis=(1, 2))
+    max_x = jnp.max(jnp.where(m, gx, -1), axis=(1, 2))
+    max_y = jnp.max(jnp.where(m, gy, -1), axis=(1, 2))
+    box = jnp.stack([min_x, min_y, max_x, max_y], axis=-1)
+    return box.reshape(tuple(lead) + (4,))

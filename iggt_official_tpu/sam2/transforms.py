@@ -1,0 +1,89 @@
+"""SAM2 image/coordinate transforms + mask post-processing.
+
+Behavioural parity: `sam2/utils/transforms.py:9-120` (`SAM2Transforms`):
+square resize to the model resolution with ImageNet normalization,
+coordinate/box rescaling, and mask post-processing (hole filling and
+sprinkle removal through connected components — here the TPU CCL op — then
+resize back to the original extent).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from iggt_official_tpu.ops.connected_components import connected_components
+from iggt_official_tpu.ops.interpolate import bilinear_resize_align_corners
+
+_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class SAM2Transforms:
+    def __init__(
+        self,
+        resolution: int,
+        mask_threshold: float,
+        max_hole_area: float = 0.0,
+        max_sprinkle_area: float = 0.0,
+    ):
+        self.resolution = resolution
+        self.mask_threshold = mask_threshold
+        self.max_hole_area = max_hole_area
+        self.max_sprinkle_area = max_sprinkle_area
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        """HWC uint8/float image -> (res, res, 3) normalized float32."""
+        from PIL import Image
+
+        if image.dtype != np.uint8:
+            image = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+        img = Image.fromarray(image).resize(
+            (self.resolution, self.resolution), Image.Resampling.BILINEAR
+        )
+        arr = np.asarray(img, np.float32) / 255.0
+        return (arr - _MEAN) / _STD
+
+    def forward_batch(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        return np.stack([self(im) for im in images])
+
+    def transform_coords(
+        self, coords: np.ndarray, normalize: bool = False,
+        orig_hw: Optional[Tuple[int, int]] = None,
+    ) -> np.ndarray:
+        coords = np.asarray(coords, np.float32).copy()
+        if normalize:
+            h, w = orig_hw
+            coords[..., 0] = coords[..., 0] / w
+            coords[..., 1] = coords[..., 1] / h
+        return coords * self.resolution
+
+    def transform_boxes(
+        self, boxes: np.ndarray, normalize: bool = False,
+        orig_hw: Optional[Tuple[int, int]] = None,
+    ) -> np.ndarray:
+        return self.transform_coords(
+            np.asarray(boxes).reshape(-1, 2, 2), normalize, orig_hw
+        )
+
+    def postprocess_masks(
+        self, masks: jax.Array, orig_hw: Tuple[int, int]
+    ) -> np.ndarray:
+        """masks (B, M, H, W) logits -> (B, M, oh, ow) after CCL cleanup."""
+        masks = jnp.asarray(masks, jnp.float32)
+        B, M = masks.shape[:2]
+        flat = masks.reshape((B * M,) + masks.shape[2:])
+        if self.max_hole_area > 0:
+            labels, areas = connected_components(flat <= self.mask_threshold)
+            is_hole = (labels > 0) & (areas <= self.max_hole_area)
+            flat = jnp.where(is_hole, self.mask_threshold + 10.0, flat)
+        if self.max_sprinkle_area > 0:
+            labels, areas = connected_components(flat > self.mask_threshold)
+            is_spark = (labels > 0) & (areas <= self.max_sprinkle_area)
+            flat = jnp.where(is_spark, self.mask_threshold - 10.0, flat)
+        out = bilinear_resize_align_corners(flat[..., None], orig_hw)[..., 0]
+        return np.asarray(out.reshape((B, M) + orig_hw))

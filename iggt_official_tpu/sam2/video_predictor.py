@@ -1,0 +1,356 @@
+"""SAM2 video predictor: interactive prompting + streaming propagation.
+
+Behavioural parity: `sam2/sam2_video_predictor.py:36-626` +
+`sam2/modeling/sam2_base.py:491-907`:
+- `init_state` preprocesses the frame stack and sets up per-object storage
+  (conditioning / non-conditioning frame outputs).
+- `add_new_points_or_box` runs the SAM heads on a conditioning frame with
+  the accumulated clicks for that object.
+- `propagate_in_video` streams through frames, conditioning each frame's
+  features on the memory bank: conditioning-frame memories at temporal
+  position 0, the last `num_maskmem - 1` frames at positions 1..6 (with
+  the learned maskmem temporal embeddings), plus projected object pointers
+  with sine temporal encodings (split into d_model/mem_dim tokens each).
+
+The frame/memory bookkeeping is host-side Python (as in the reference);
+the jitted compute is SAM2Base's methods.  Batch dim is per-object.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from iggt_official_tpu.sam2.base import SAM2Base
+from iggt_official_tpu.sam2.transforms import SAM2Transforms
+
+
+class SAM2VideoPredictor:
+    def __init__(
+        self,
+        model: SAM2Base,
+        variables,
+        mask_threshold: float = 0.0,
+        fill_hole_area: float = 0.0,
+    ):
+        self.model = model
+        self.variables = variables
+        self.cfg = model.cfg
+        self.mask_threshold = mask_threshold
+        self._transforms = SAM2Transforms(
+            self.cfg.image_size, mask_threshold, fill_hole_area, 0.0
+        )
+        self._forward_image = jax.jit(
+            lambda v, x: model.apply(v, x, method=SAM2Base.forward_image)
+        )
+
+    # ------------------------------------------------------------------
+    def init_state(self, images: Sequence[np.ndarray]) -> Dict:
+        """images: list/array of HWC RGB frames."""
+        frames = self._transforms.forward_batch(list(images))
+        return {
+            "images": frames,
+            "num_frames": len(frames),
+            "orig_hw": np.asarray(images[0]).shape[:2],
+            "cached_features": {},
+            # per object id:
+            "point_inputs_per_obj": {},
+            "cond_frame_outputs": {},
+            "non_cond_frame_outputs": {},
+            "obj_ids": [],
+        }
+
+    def reset_state(self, state: Dict) -> None:
+        state["point_inputs_per_obj"].clear()
+        state["cond_frame_outputs"].clear()
+        state["non_cond_frame_outputs"].clear()
+        state["obj_ids"].clear()
+
+    # ------------------------------------------------------------------
+    def _get_image_features(self, state: Dict, frame_idx: int):
+        if frame_idx not in state["cached_features"]:
+            img = jnp.asarray(state["images"][frame_idx][None])
+            state["cached_features"][frame_idx] = self._forward_image(
+                self.variables, img
+            )
+            # bound the cache (the reference offloads to CPU; we just evict)
+            if len(state["cached_features"]) > 2 * self.cfg.num_maskmem + 2:
+                oldest = min(
+                    k for k in state["cached_features"] if k != frame_idx
+                )
+                del state["cached_features"][oldest]
+        return state["cached_features"][frame_idx]
+
+    def _obj_store(self, state: Dict, obj_id: int, key: str) -> Dict:
+        return state[key].setdefault(obj_id, {})
+
+    # ------------------------------------------------------------------
+    def add_new_points_or_box(
+        self,
+        state: Dict,
+        frame_idx: int,
+        obj_id: int,
+        points: Optional[np.ndarray] = None,
+        labels: Optional[np.ndarray] = None,
+        box: Optional[np.ndarray] = None,
+        clear_old_points: bool = True,
+    ):
+        """Interactive prompt on a conditioning frame
+        (`sam2_video_predictor.py:155-376`)."""
+        if obj_id not in state["obj_ids"]:
+            state["obj_ids"].append(obj_id)
+
+        coords_list, labels_list = [], []
+        if box is not None:
+            b = self._transforms.transform_boxes(
+                np.asarray(box, np.float32), normalize=True,
+                orig_hw=state["orig_hw"],
+            ).reshape(2, 2)
+            coords_list.append(b)
+            labels_list.append(np.asarray([2, 3], np.int32))
+        if points is not None:
+            pts = self._transforms.transform_coords(
+                np.asarray(points, np.float32), normalize=True,
+                orig_hw=state["orig_hw"],
+            )
+            coords_list.append(pts.reshape(-1, 2))
+            labels_list.append(np.asarray(labels, np.int32).reshape(-1))
+
+        store = self._obj_store(state, obj_id, "point_inputs_per_obj")
+        old = store.get(frame_idx)
+        coords = np.concatenate(coords_list)[None]
+        labs = np.concatenate(labels_list)[None]
+        if old is not None and not clear_old_points:
+            coords = np.concatenate([old["point_coords"], coords], axis=1)
+            labs = np.concatenate([old["point_labels"], labs], axis=1)
+        point_inputs = {"point_coords": coords, "point_labels": labs}
+        store[frame_idx] = point_inputs
+
+        out = self._run_single_frame(
+            state, frame_idx, obj_id,
+            point_inputs=point_inputs,
+            is_init_cond_frame=True,
+        )
+        self._obj_store(state, obj_id, "cond_frame_outputs")[frame_idx] = out
+        self._obj_store(state, obj_id, "non_cond_frame_outputs").pop(
+            frame_idx, None
+        )
+        masks = self._transforms.postprocess_masks(
+            jnp.asarray(out["pred_masks"][None]), state["orig_hw"]
+        )
+        return frame_idx, state["obj_ids"], masks[0]
+
+    # ------------------------------------------------------------------
+    def propagate_in_video(
+        self,
+        state: Dict,
+        start_frame_idx: Optional[int] = None,
+        max_frame_num_to_track: Optional[int] = None,
+        reverse: bool = False,
+    ):
+        """Streaming mask propagation (`sam2_video_predictor.py:540-626`).
+        Yields (frame_idx, obj_ids, mask_logits (num_obj, H, W))."""
+        num_frames = state["num_frames"]
+        obj_ids = list(state["obj_ids"])
+        assert obj_ids, "add prompts before propagating"
+
+        if start_frame_idx is None:
+            start_frame_idx = min(
+                min(d.keys())
+                for d in state["cond_frame_outputs"].values()
+                if d
+            )
+        if max_frame_num_to_track is None:
+            max_frame_num_to_track = num_frames
+        if reverse:
+            end = max(start_frame_idx - max_frame_num_to_track, 0)
+            frames = range(start_frame_idx, end - 1, -1)
+        else:
+            end = min(start_frame_idx + max_frame_num_to_track, num_frames - 1)
+            frames = range(start_frame_idx, end + 1)
+
+        for frame_idx in frames:
+            per_obj_masks = []
+            for obj_id in obj_ids:
+                cond = self._obj_store(state, obj_id, "cond_frame_outputs")
+                non_cond = self._obj_store(
+                    state, obj_id, "non_cond_frame_outputs"
+                )
+                if frame_idx in cond:
+                    out = cond[frame_idx]
+                else:
+                    out = self._run_single_frame(
+                        state, frame_idx, obj_id,
+                        point_inputs=None,
+                        is_init_cond_frame=False,
+                        reverse=reverse,
+                    )
+                    non_cond[frame_idx] = out
+                per_obj_masks.append(out["pred_masks"])
+            masks = self._transforms.postprocess_masks(
+                jnp.asarray(np.stack(per_obj_masks)), state["orig_hw"]
+            )[:, 0]
+            yield frame_idx, obj_ids, masks
+
+    # ------------------------------------------------------------------
+    def _run_single_frame(
+        self,
+        state: Dict,
+        frame_idx: int,
+        obj_id: int,
+        point_inputs: Optional[Dict],
+        is_init_cond_frame: bool,
+        reverse: bool = False,
+    ) -> Dict:
+        """`sam2_base.py:808-907` track step for one object on one frame."""
+        cfg = self.cfg
+        backbone = self._get_image_features(state, frame_idx)
+        feats = backbone["backbone_fpn"][-1]       # (1, h, w, C)
+        pos = backbone["vision_pos_enc"][-1]
+        hi = (
+            list(backbone["backbone_fpn"][:2])
+            if cfg.use_high_res_features_in_sam
+            else None
+        )
+        B, h, w, C = feats.shape
+        curr = feats.reshape(B, h * w, C)
+        curr_pos = pos.reshape(B, h * w, C)
+
+        if is_init_cond_frame:
+            fused = self.model.apply(
+                self.variables, curr, method=SAM2Base.no_memory_features
+            )
+        else:
+            memory, memory_pos, n_ptr_tokens = self._build_memory(
+                state, frame_idx, obj_id, reverse
+            )
+            if memory is None:
+                fused = self.model.apply(
+                    self.variables, curr, method=SAM2Base.no_memory_features
+                )
+            else:
+                fused = self.model.apply(
+                    self.variables, curr, curr_pos, memory, memory_pos,
+                    n_ptr_tokens, method=SAM2Base.condition_on_memory,
+                )
+        fused_map = fused.reshape(B, h, w, C)
+
+        multimask = (
+            cfg.multimask_output_in_sam
+            if point_inputs is not None
+            else cfg.multimask_output_for_tracking
+        )
+        pts = None
+        if point_inputs is not None:
+            pts = {
+                "point_coords": jnp.asarray(point_inputs["point_coords"]),
+                "point_labels": jnp.asarray(point_inputs["point_labels"]),
+            }
+        res = self.model.apply(
+            self.variables, fused_map, pts, None, hi, multimask,
+            method=SAM2Base.forward_sam_heads,
+        )
+        _, _, ious, low_res_masks, high_res_masks, obj_ptr, obj_logits = res
+
+        mem_feats, mem_pos = self.model.apply(
+            self.variables, feats,
+            jnp.moveaxis(high_res_masks, 1, -1),
+            obj_logits, method=SAM2Base.encode_new_memory,
+        )
+        return {
+            "maskmem_features": np.asarray(mem_feats),
+            "maskmem_pos_enc": np.asarray(mem_pos),
+            "pred_masks": np.asarray(low_res_masks)[0],
+            "obj_ptr": np.asarray(obj_ptr)[0],
+            "object_score_logits": np.asarray(obj_logits)[0],
+        }
+
+    # ------------------------------------------------------------------
+    def _build_memory(self, state, frame_idx, obj_id, reverse):
+        """Assemble the memory bank (`sam2_base.py:490-647`)."""
+        cfg = self.cfg
+        cond = self._obj_store(state, obj_id, "cond_frame_outputs")
+        non_cond = self._obj_store(state, obj_id, "non_cond_frame_outputs")
+        if not cond:
+            return None, None, 0
+
+        mems, mem_pos = [], []
+        t_and_prev = [(0, out) for _, out in sorted(cond.items())]
+        for t_pos in range(1, cfg.num_maskmem):
+            t_rel = cfg.num_maskmem - t_pos
+            prev_idx = frame_idx + t_rel if reverse else frame_idx - t_rel
+            out = non_cond.get(prev_idx)
+            if out is None:
+                out = cond.get(prev_idx)  # unselected-cond fallback
+                if out is not None and any(
+                    o is out for _, o in t_and_prev
+                ):
+                    out = None
+            if out is not None:
+                t_and_prev.append((t_pos, out))
+
+        for t_pos, prev in t_and_prev:
+            f = jnp.asarray(prev["maskmem_features"])  # (1, mh, mw, mem)
+            mems.append(f.reshape(1, -1, f.shape[-1]))
+            p = jnp.asarray(prev["maskmem_pos_enc"]).reshape(
+                1, -1, f.shape[-1]
+            )
+            tpos_row = self.model.apply(
+                self.variables,
+                jnp.asarray([cfg.num_maskmem - t_pos - 1]),
+                method=SAM2Base.memory_tpos,
+            )
+            mem_pos.append(p + tpos_row[None])
+
+        n_ptr_tokens = 0
+        if cfg.use_obj_ptrs_in_encoder:
+            max_ptrs = min(state["num_frames"], cfg.max_obj_ptrs_in_encoder)
+            sign = -1 if reverse else 1
+            pos_and_ptrs = [
+                (
+                    (frame_idx - t) * sign
+                    if cfg.use_signed_tpos_enc_to_obj_ptrs
+                    else abs(frame_idx - t),
+                    out["obj_ptr"],
+                )
+                for t, out in cond.items()
+                if (t >= frame_idx if reverse else t <= frame_idx)
+            ]
+            for t_diff in range(1, max_ptrs):
+                t = frame_idx + t_diff if reverse else frame_idx - t_diff
+                if t < 0 or t >= state["num_frames"]:
+                    break
+                out = non_cond.get(t)
+                if out is not None:
+                    pos_and_ptrs.append((t_diff, out["obj_ptr"]))
+            if pos_and_ptrs:
+                pos_list, ptr_list = zip(*pos_and_ptrs)
+                ptrs = jnp.asarray(np.stack(ptr_list))  # (P, C)
+                if cfg.add_tpos_enc_to_obj_ptrs:
+                    t_diff_max = max(max_ptrs - 1, 1)
+                    obj_pos = self.model.apply(
+                        self.variables,
+                        jnp.asarray(pos_list, jnp.float32) / t_diff_max,
+                        method=SAM2Base.obj_ptr_tpos,
+                    )  # (P, mem_dim)
+                else:
+                    obj_pos = jnp.zeros(
+                        (len(pos_list), cfg.mem_dim), jnp.float32
+                    )
+                if cfg.mem_dim < cfg.d_model:
+                    split = cfg.d_model // cfg.mem_dim
+                    ptrs = ptrs.reshape(-1, split, cfg.mem_dim).reshape(
+                        -1, cfg.mem_dim
+                    )
+                    obj_pos = jnp.repeat(obj_pos, split, axis=0)
+                mems.append(ptrs[None])
+                mem_pos.append(obj_pos[None])
+                n_ptr_tokens = ptrs.shape[0]
+
+        memory = jnp.concatenate(mems, axis=1)
+        memory_pos = jnp.concatenate(mem_pos, axis=1)
+        return memory, memory_pos, n_ptr_tokens

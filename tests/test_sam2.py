@@ -1,0 +1,142 @@
+"""SAM2 subsystem: CCL, position embeddings, Hiera/FPN, predictors."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from iggt_official_tpu.ops.connected_components import (
+    connected_components,
+    fill_holes_in_mask_scores,
+    mask_to_box,
+)
+from iggt_official_tpu.sam2.base import SAM2Base
+from iggt_official_tpu.sam2.build import build_sam2
+from iggt_official_tpu.sam2.common import PositionEmbeddingSine
+from iggt_official_tpu.sam2.config import SAM2Config
+from iggt_official_tpu.sam2.image_predictor import SAM2ImagePredictor
+from iggt_official_tpu.sam2.memory import axial_rope_tables, apply_rotary
+from iggt_official_tpu.sam2.video_predictor import SAM2VideoPredictor
+
+from . import torch_ref
+
+
+def test_connected_components_matches_scipy():
+    from scipy import ndimage
+
+    rng = np.random.default_rng(0)
+    m = rng.random((2, 32, 40)) < 0.4
+    labels, areas = connected_components(jnp.asarray(m))
+    labels, areas = np.asarray(labels), np.asarray(areas)
+    s8 = np.ones((3, 3), int)
+    for b in range(2):
+        ref, n = ndimage.label(m[b], structure=s8)
+        for comp in range(1, n + 1):
+            sel = ref == comp
+            assert len(np.unique(labels[b][sel])) == 1
+            assert (areas[b][sel] == sel.sum()).all()
+        assert (labels[b][~m[b]] == 0).all()
+        # distinct components get distinct labels
+        fg_labels = [labels[b][ref == c][0] for c in range(1, n + 1)]
+        assert len(set(fg_labels)) == n
+
+
+def test_fill_holes_and_mask_to_box():
+    scores = np.full((1, 16, 16), 5.0, np.float32)
+    scores[0, 8, 8] = -1.0  # 1-pixel hole
+    filled = np.asarray(fill_holes_in_mask_scores(jnp.asarray(scores), 4))
+    assert filled[0, 8, 8] == pytest.approx(0.1)
+
+    m = np.zeros((1, 16, 16), bool)
+    m[0, 2:5, 3:9] = True
+    box = np.asarray(mask_to_box(jnp.asarray(m)))
+    assert tuple(box[0]) == (3, 2, 8, 4)
+
+
+def test_position_embedding_sine_parity(ref):
+    import torch
+    from sam2.modeling.position_encoding import PositionEmbeddingSine as TRef
+
+    tpe = TRef(num_pos_feats=64, warmup_cache=False)
+    with torch.no_grad():
+        refv = tpe._pe(1, torch.device("cpu"), 6, 9).numpy()  # (1, C, H, W)
+    mine = np.asarray(PositionEmbeddingSine(64)(6, 9))  # (H, W, C)
+    np.testing.assert_allclose(
+        mine.transpose(2, 0, 1)[None], refv, rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return torch_ref.iggt_modules()
+
+
+def test_axial_rope_parity(ref):
+    import torch
+    from sam2.modeling.position_encoding import apply_rotary_enc, compute_axial_cis
+
+    torch.manual_seed(0)
+    dim, ex, ey = 16, 4, 4
+    cis = compute_axial_cis(dim, ex, ey, theta=10000.0)
+    q = torch.randn(1, 2, ex * ey, dim)
+    k = torch.randn(1, 2, ex * ey, dim)
+    with torch.no_grad():
+        qr, kr = apply_rotary_enc(q, k, cis)
+
+    cos, sin = axial_rope_tables(dim, ex, ey)
+    mq = apply_rotary(jnp.asarray(q.numpy()), cos[None, None], sin[None, None])
+    mk = apply_rotary(jnp.asarray(k.numpy()), cos[None, None], sin[None, None])
+    np.testing.assert_allclose(np.asarray(mq), qr.numpy(), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(mk), kr.numpy(), rtol=1e-5, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_sam():
+    cfg = SAM2Config().scaled(image_size=64)
+    return build_sam2(cfg)
+
+
+def test_image_predictor_end_to_end(tiny_sam):
+    model, variables = tiny_sam
+    pred = SAM2ImagePredictor(model, variables)
+    rng = np.random.default_rng(0)
+    image = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    pred.set_image(image)
+    masks, ious, low = pred.predict(
+        point_coords=np.array([[32.0, 24.0]]),
+        point_labels=np.array([1]),
+        multimask_output=True,
+    )
+    assert masks.shape == (3, 48, 64) and masks.dtype == bool
+    assert ious.shape == (3,)
+    assert np.isfinite(low).all()
+
+    # box prompt path
+    masks2, _, _ = pred.predict(box=np.array([8, 8, 56, 40]),
+                                multimask_output=False)
+    assert masks2.shape == (1, 48, 64)
+
+
+def test_video_predictor_propagation(tiny_sam):
+    model, variables = tiny_sam
+    pred = SAM2VideoPredictor(model, variables)
+    rng = np.random.default_rng(1)
+    frames = [
+        rng.integers(0, 255, (48, 64, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    state = pred.init_state(frames)
+    fidx, obj_ids, mask = pred.add_new_points_or_box(
+        state, frame_idx=0, obj_id=1,
+        points=np.array([[30.0, 20.0]]), labels=np.array([1]),
+    )
+    assert fidx == 0 and obj_ids == [1]
+    assert mask.shape[-2:] == (48, 64)
+
+    outs = list(pred.propagate_in_video(state))
+    assert [f for f, _, _ in outs] == [0, 1, 2, 3]
+    for _, ids, masks in outs:
+        assert ids == [1]
+        assert masks.shape == (1, 48, 64)
+        assert np.isfinite(masks).all()
+    # memory grows: later frames conditioned on earlier outputs
+    assert len(state["non_cond_frame_outputs"][1]) == 3
