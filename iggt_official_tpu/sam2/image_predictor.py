@@ -100,6 +100,36 @@ class SAM2ImagePredictor:
             masks = masks > self.mask_threshold
         return masks[0], np.asarray(ious)[0], np.asarray(low_multi)[0]
 
+    def predict_point_batch(self, point_coords: np.ndarray):
+        """Batched single-point prompts (for the mask generator's grid
+        sweep): (N, 2) absolute pixel coords -> multimask logits
+        (N, 3, h, w) + ious (N, 3)."""
+        assert self._features is not None, "call set_image first"
+        coords = self._transforms.transform_coords(
+            np.asarray(point_coords, np.float32), normalize=True,
+            orig_hw=self._orig_hw,
+        )[:, None, :]  # (N, 1, 2)
+        labels = np.ones((coords.shape[0], 1), np.int32)
+
+        N = coords.shape[0]
+        feats = jnp.broadcast_to(
+            self._features["backbone_fpn"][-1],
+            (N,) + self._features["backbone_fpn"][-1].shape[1:],
+        )
+        hi = None
+        if self.cfg.use_high_res_features_in_sam:
+            hi = [
+                jnp.broadcast_to(f, (N,) + f.shape[1:])
+                for f in self._features["backbone_fpn"][:2]
+            ]
+        res = self._sam_heads(
+            self.variables, feats,
+            {"point_coords": jnp.asarray(coords),
+             "point_labels": jnp.asarray(labels)},
+            None, hi, True,
+        )
+        return np.asarray(res[0]), np.asarray(res[2])
+
     # ------------------------------------------------------------------
     def _prep_prompts(self, point_coords, point_labels, box):
         coords = labels = None

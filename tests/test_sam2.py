@@ -140,3 +140,60 @@ def test_video_predictor_propagation(tiny_sam):
         assert np.isfinite(masks).all()
     # memory grows: later frames conditioned on earlier outputs
     assert len(state["non_cond_frame_outputs"][1]) == 3
+
+
+def test_amg_helpers():
+    from iggt_official_tpu.sam2.amg import (
+        area_from_rle,
+        batched_mask_to_box,
+        build_point_grid,
+        calculate_stability_score,
+        mask_to_rle,
+        nms_boxes,
+        rle_to_mask,
+    )
+
+    grid = build_point_grid(4)
+    assert grid.shape == (16, 2)
+    assert grid.min() > 0 and grid.max() < 1
+
+    rng = np.random.default_rng(0)
+    mask = rng.random((12, 17)) < 0.3
+    rle = mask_to_rle(mask)
+    np.testing.assert_array_equal(rle_to_mask(rle), mask)
+    assert area_from_rle(rle) == mask.sum()
+
+    m = np.zeros((2, 8, 8), bool)
+    m[0, 1:4, 2:6] = True
+    boxes = batched_mask_to_box(m)
+    assert tuple(boxes[0]) == (2, 1, 5, 3)
+    assert tuple(boxes[1]) == (0, 0, 0, 0)
+
+    logits = np.zeros((1, 6, 6), np.float32) - 5
+    logits[0, 1:5, 1:5] = 5.0
+    s = calculate_stability_score(logits, 0.0, 1.0)
+    assert s[0] == 1.0
+
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]],
+                     np.float32)
+    keep = nms_boxes(boxes, np.array([0.9, 0.8, 0.7]), iou_thresh=0.5)
+    assert keep == [0, 2]
+
+
+def test_amg_generate(tiny_sam):
+    from iggt_official_tpu.sam2.amg import SAM2AutomaticMaskGenerator
+
+    model, variables = tiny_sam
+    pred = SAM2ImagePredictor(model, variables)
+    rng = np.random.default_rng(2)
+    image = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    amg = SAM2AutomaticMaskGenerator(
+        pred, points_per_side=4, pred_iou_thresh=0.0,
+        stability_score_thresh=0.0,
+    )
+    results = amg.generate(image)
+    assert len(results) > 0
+    r = results[0]
+    assert r["segmentation"].shape == (48, 64)
+    assert set(r) >= {"segmentation", "area", "bbox", "predicted_iou",
+                      "stability_score", "point_coords"}
