@@ -12,14 +12,14 @@ reference's NCHW flatten.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from iggt_official_tpu.config import ViTConfig
-from iggt_official_tpu.layers.blocks import Block
+from iggt_official_tpu.layers.blocks import Block, sdpa_xla
 from iggt_official_tpu.ops.interpolate import resize_antialias_bicubic
 
 
@@ -56,6 +56,7 @@ class DinoViT(nn.Module):
 
     cfg: ViTConfig
     dtype: jnp.dtype = jnp.float32
+    attn_fn: Callable = sdpa_xla
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
@@ -103,6 +104,7 @@ class DinoViT(nn.Module):
                 qk_norm=False,
                 ln_eps=cfg.ln_eps,
                 dtype=self.dtype,
+                attn_fn=self.attn_fn,
                 name=f"blocks_{i}",
             )(x)
 

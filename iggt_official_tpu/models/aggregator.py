@@ -87,7 +87,8 @@ class Aggregator(nn.Module):
                 p, cfg.embed_dim, dtype=self.dtype, name="patch_embed"
             )(x)
         else:
-            patch_tokens = DinoViT(cfg.vit, dtype=self.dtype, name="patch_embed")(x)
+            patch_tokens = DinoViT(cfg.vit, dtype=self.dtype,
+                                   attn_fn=self.attn_fn, name="patch_embed")(x)
 
         camera_token = self.param(
             "camera_token", nn.initializers.normal(1e-6), (1, 2, 1, cfg.embed_dim)
