@@ -1,0 +1,177 @@
+"""Telemetry, config loader, track visualization, COLMAP IO, train loop."""
+
+import os
+
+import numpy as np
+import pytest
+
+from iggt_official_tpu.utils.arguments import (
+    load_config_dict_to_opt,
+    load_opt_from_config_files,
+)
+from iggt_official_tpu.utils.logging import MetricLogger, SmoothedValue, StageTimer
+from iggt_official_tpu.utils.visual_track import (
+    get_track_colors_by_position,
+    visualize_tracks_on_images,
+)
+
+
+def test_smoothed_value_stats():
+    v = SmoothedValue(window_size=3)
+    for x in [1.0, 2.0, 3.0, 4.0]:
+        v.update(x)
+    assert v.value == 4.0
+    assert v.median == 3.0
+    assert v.avg == 3.0
+    assert v.global_avg == 2.5
+    assert v.max == 4.0
+
+
+def test_metric_logger_log_every():
+    lines = []
+    logger = MetricLogger(print_fn=lines.append)
+    for i in logger.log_every(range(5), print_freq=2, header="test"):
+        logger.update(loss=float(i))
+    assert any("loss" in line for line in lines)
+    assert logger.meters["loss"].global_avg == 2.0
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert t.summary()["a"] >= 0
+
+
+def test_config_loader(tmp_path):
+    c1 = tmp_path / "a.yaml"
+    c1.write_text("model.depth: 4\nmodel.dim: 64\nlr: 0.1\n")
+    c2 = tmp_path / "b.yaml"
+    c2.write_text("model.depth: 8\n")
+    opt = load_opt_from_config_files([str(c1), str(c2)])
+    assert opt == {"model": {"depth": 8, "dim": 64}, "lr": 0.1}
+
+    load_config_dict_to_opt(opt, {"model.dim": 128})
+    assert opt["model"]["dim"] == 128
+
+
+def test_track_visualization(tmp_path):
+    rng = np.random.default_rng(0)
+    S, N, H, W = 3, 5, 32, 48
+    images = rng.uniform(0, 1, (S, H, W, 3)).astype(np.float32)
+    tracks = rng.uniform(5, 25, (S, N, 2)).astype(np.float32)
+    vis = np.ones((S, N), bool)
+    vis[0, 0] = False
+
+    colors = get_track_colors_by_position(tracks, vis, W, H)
+    assert colors.shape == (N, 3)
+
+    frames = visualize_tracks_on_images(
+        images, tracks, vis, out_dir=str(tmp_path), frames_per_row=2
+    )
+    assert frames.shape == (S, H, W, 3)
+    assert os.path.exists(tmp_path / "frame_0000.png")
+    assert os.path.exists(tmp_path / "tracks_grid.png")
+    assert (frames != (images * 255).astype(np.uint8)).any()
+
+
+def test_colmap_roundtrip(tmp_path):
+    from iggt_official_tpu.data.colmap import (
+        Camera,
+        Image,
+        Point3D,
+        qvec2rotmat,
+        read_model,
+        rotmat2qvec,
+        write_model,
+    )
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.default_rng(0)
+    cameras = {
+        1: Camera(1, "PINHOLE", 640, 480,
+                  np.array([500.0, 500.0, 320.0, 240.0])),
+    }
+    images = {}
+    for i in range(1, 4):
+        R = Rotation.random(random_state=i).as_matrix()
+        q = rotmat2qvec(R)
+        images[i] = Image(
+            i, q, rng.normal(0, 1, 3), 1, f"img_{i}.jpg",
+            rng.uniform(0, 640, (4, 2)), np.array([1, -1, 2, -1]),
+        )
+    points = {
+        1: Point3D(1, rng.normal(0, 1, 3), np.array([255, 0, 0]), 0.5,
+                   np.array([1, 2]), np.array([0, 1])),
+        2: Point3D(2, rng.normal(0, 1, 3), np.array([0, 255, 0]), 0.7,
+                   np.array([3]), np.array([2])),
+    }
+    write_model(cameras, images, points, str(tmp_path))
+    c2, i2, p2 = read_model(str(tmp_path))
+    assert c2[1].model == "PINHOLE"
+    np.testing.assert_allclose(c2[1].params, cameras[1].params)
+    for i in images:
+        np.testing.assert_allclose(i2[i].qvec, images[i].qvec)
+        np.testing.assert_allclose(i2[i].tvec, images[i].tvec)
+        assert i2[i].name == images[i].name
+        np.testing.assert_allclose(i2[i].xys, images[i].xys)
+        np.testing.assert_array_equal(i2[i].point3D_ids, images[i].point3D_ids)
+        # qvec2rotmat inverts rotmat2qvec
+        np.testing.assert_allclose(
+            qvec2rotmat(i2[i].qvec),
+            Rotation.random(random_state=i).as_matrix(), atol=1e-6,
+        )
+    np.testing.assert_allclose(p2[1].xyz, points[1].xyz)
+    np.testing.assert_array_equal(p2[2].image_ids, points[2].image_ids)
+
+
+def test_train_loop_smoke(tmp_path):
+    import dataclasses
+    import jax.numpy as jnp
+
+    from iggt_official_tpu.config import ModelConfig
+    from iggt_official_tpu.models.vggt import IGGT
+    from iggt_official_tpu.train.loop import train
+
+    cfg = ModelConfig().scaled(
+        embed_dim=32, depth=2, num_heads=2, img_size=28, patch_embed="conv"
+    )
+    cfg = dataclasses.replace(cfg, enable_part=False, name="vggt")
+    from iggt_official_tpu.models.vggt import VGGT
+
+    model = VGGT(cfg)
+    rng = np.random.default_rng(0)
+    B, S, H, W = 1, 2, 28, 28
+
+    def batches():
+        while True:
+            yield {
+                "images": rng.uniform(0, 1, (B, S, H, W, 3)).astype(np.float32),
+                "pose_enc": rng.normal(0, 1, (B, S, 9)).astype(np.float32),
+                "depth": rng.uniform(0.5, 2, (B, S, H, W, 1)).astype(np.float32),
+                "world_points": rng.normal(0, 1, (B, S, H, W, 3)).astype(np.float32),
+                "valid_mask": np.ones((B, S, H, W), np.float32),
+            }
+
+    logs = []
+    state = train(
+        model, batches(), num_steps=3,
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=2,
+        warmup_steps=1, log_every=1, print_fn=logs.append,
+    )
+    assert int(state.step) == 3
+    assert any("loss/total" in l for l in logs)
+    ckpts = os.listdir(tmp_path / "ckpt")
+    assert any(c.startswith("step_") for c in ckpts)
+
+    # resume from the saved checkpoint
+    state2 = train(
+        model, batches(), num_steps=4,
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=10,
+        warmup_steps=1, log_every=10, print_fn=logs.append,
+    )
+    assert int(state2.step) == 4
+    assert any("resumed" in l for l in logs)
