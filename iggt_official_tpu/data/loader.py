@@ -95,9 +95,9 @@ def get_data_loader(
     registered dataset classes (`datasets/__init__.py:42-44` semantics).
     """
     if isinstance(dataset, str):
-        import iggt_official_tpu.data.scene_dataset as scene_mod
+        import iggt_official_tpu.data.datasets as ds_mod
 
-        dataset = eval(dataset, vars(scene_mod))  # noqa: S307 (config expr)
+        dataset = eval(dataset, vars(ds_mod))  # noqa: S307 (config expr)
 
     if epoch is not None:
         dataset.set_epoch(epoch)

@@ -35,7 +35,18 @@ class SceneDirDataset(BaseViewDataset):
     depth_dir = "depth"
     cam_dir = "cam"
     color_ext = "*.jpg"
+    depth_ext = "*.png"
+    # depth decoding: "png_scale" (uint16 / depth_scale), "png_maxdepth"
+    # (uint16 / 65535 * max_depth, hypersim-style), "npy", "pfm", "exr"
+    depth_mode = "png_scale"
     depth_scale = 1000.0  # raw / scale = meters
+    max_depth = 100.0     # used by png_maxdepth
+    depth_percentile = 99
+    # camera npz keys: either a single 4x4 "pose" or split R/t
+    pose_key = "pose"
+    rot_key = "R_cam2world"
+    trans_key = "t_cam2world"
+    intr_keys = ("intrinsics", "intrinsic")
     min_frames = 24
 
     def __init__(
@@ -71,7 +82,7 @@ class SceneDirDataset(BaseViewDataset):
                 glob.glob(os.path.join(seq, self.color_dir, self.color_ext))
             )
             depth_paths = sorted(
-                glob.glob(os.path.join(seq, self.depth_dir, "*.png"))
+                glob.glob(os.path.join(seq, self.depth_dir, self.depth_ext))
             )
             cam_paths = sorted(glob.glob(os.path.join(seq, self.cam_dir, "*.npz")))
             if len(rgb_paths) < self.min_frames:
@@ -85,10 +96,7 @@ class SceneDirDataset(BaseViewDataset):
 
             extrinsics_seq = []
             for cam_path in cam_paths:
-                cam = np.load(cam_path)
-                pose = np.asarray(cam["pose"], np.float32)
-                K = np.asarray(cam["intrinsics"], np.float32)
-                assert pose.shape == (4, 4) and K.shape == (3, 3), cam_path
+                pose, K = self._load_cam(cam_path)
                 self.all_extrinsic.append(pose)
                 self.all_intrinsic.append(K)
                 extrinsics_seq.append(pose)
@@ -104,13 +112,43 @@ class SceneDirDataset(BaseViewDataset):
     def __len__(self):
         return len(self.full_idxs)
 
-    def _read_depth(self, path: str) -> np.ndarray:
-        import cv2
+    def _load_cam(self, cam_path: str):
+        cam = np.load(cam_path)
+        if self.pose_key in cam:
+            pose = np.asarray(cam[self.pose_key], np.float32)
+        else:
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = np.asarray(cam[self.rot_key], np.float32)
+            pose[:3, 3] = np.asarray(cam[self.trans_key], np.float32).ravel()
+        K = None
+        for key in self.intr_keys:
+            if key in cam:
+                K = np.asarray(cam[key], np.float32)
+                break
+        assert pose.shape == (4, 4) and K is not None and K.shape == (3, 3), cam_path
+        return pose, K
 
-        depth = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-        depth = depth.astype(np.float32) / self.depth_scale
+    def _read_depth(self, path: str) -> np.ndarray:
+        if self.depth_mode == "npy":
+            depth = np.load(path).astype(np.float32)
+        elif self.depth_mode == "pfm":
+            depth = read_pfm(path).astype(np.float32)
+        else:
+            import cv2
+
+            raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+            if raw.ndim == 3:
+                raw = raw[..., 0]
+            if self.depth_mode == "png_maxdepth":
+                depth = raw.astype(np.float32) / 65535.0 * self.max_depth
+            elif self.depth_mode == "exr":
+                depth = raw.astype(np.float32)
+            else:
+                depth = raw.astype(np.float32) / self.depth_scale
         depth[~np.isfinite(depth)] = 0
-        return threshold_depth_map(depth, max_percentile=99, min_percentile=-1)
+        return threshold_depth_map(
+            depth, max_percentile=self.depth_percentile, min_percentile=-1
+        )
 
     def _get_views(self, index, num, resolution, rng):
         anchor = self.full_idxs[index]
@@ -145,45 +183,32 @@ class SceneDirDataset(BaseViewDataset):
                     dataset=self.dataset_label,
                     label=self.all_rgb_paths[i].split(os.sep)[-3],
                     instance=os.path.basename(self.all_rgb_paths[i]),
+                    frame_index=i,
                 )
             )
         return views
 
 
-class Scannet(SceneDirDataset):
-    """`iggt/datasets/scannet.py` layout: color/ depth/ cam/, mm depth."""
-
-    dataset_label = "Scannet"
-
-
-class Scannetpp(SceneDirDataset):
-    """`iggt/datasets/scannetpp.py` preprocessed layout."""
-
-    dataset_label = "Scannetpp"
-
-
-class Re10K(SceneDirDataset):
-    """`iggt/datasets/re10k.py` preprocessed layout."""
-
-    dataset_label = "Re10K"
-    min_frames = 2
+def read_pfm(path: str) -> np.ndarray:
+    """Minimal PFM reader (BlendedMVS-style depth maps)."""
+    with open(path, "rb") as f:
+        header = f.readline().decode().rstrip()
+        assert header in ("PF", "Pf"), header
+        dims = f.readline().decode().split()
+        w, h = int(dims[0]), int(dims[1])
+        scale = float(f.readline().decode().rstrip())
+        data = np.fromfile(f, "<f" if scale < 0 else ">f")
+    channels = 3 if header == "PF" else 1
+    img = data.reshape(h, w, channels) if channels == 3 else data.reshape(h, w)
+    return np.flipud(img).copy()
 
 
-class Dl3dv(SceneDirDataset):
-    """`iggt/datasets/dl3dv.py` geometry path (images/ depth/ cam/).
-
-    Masklet (auto_masks.json instance pseudo-GT) loading attaches per-view
-    `instance_ids` maps when the file exists (`dl3dv.py:241-451`)."""
-
-    dataset_label = "Dl3dv"
-    color_dir = "images"
-
-    def _get_views(self, index, num, resolution, rng):
-        views = super()._get_views(index, num, resolution, rng)
-        # optional SAM2 masklet pseudo-GT (RLE in auto_masks.json)
-        for view, path in zip(views, [self.all_rgb_paths[0]] * len(views)):
-            seq_dir = os.path.dirname(os.path.dirname(path))
-            mask_json = os.path.join(seq_dir, "auto_masks.json")
-            if os.path.exists(mask_json):
-                view["has_masklets"] = True
-        return views
+# Named dataset registry lives in iggt_official_tpu/data/datasets.py; the
+# most common ones are re-exported here for convenience.
+from iggt_official_tpu.data.datasets import (  # noqa: E402,F401
+    DATASETS,
+    Dl3dv,
+    Re10K,
+    Scannet,
+    Scannetpp,
+)

@@ -187,3 +187,95 @@ def test_data_loader_to_train_batch(tmp_path):
     assert batch["valid_mask"].shape == (B, S, 42, 56)
     assert batch["pose_enc"].shape == (B, S, 9)
     assert np.isfinite(batch["pose_enc"]).all()
+
+
+def test_rle_codec_roundtrip():
+    from iggt_official_tpu.data import rle
+
+    rng = np.random.default_rng(0)
+    for shape in [(7, 11), (32, 32), (1, 5)]:
+        mask = rng.random(shape) < 0.4
+        enc = rle.encode(mask, compress=True)
+        assert isinstance(enc["counts"], str)
+        np.testing.assert_array_equal(rle.decode(enc), mask)
+        assert rle.area(enc) == mask.sum()
+        # uncompressed round-trip too
+        enc2 = rle.encode(mask, compress=False)
+        np.testing.assert_array_equal(rle.decode(enc2), mask)
+
+
+def test_color_jitter_and_imgnorm():
+    from iggt_official_tpu.data.transforms import ColorJitter, ImgNorm
+
+    rng = np.random.default_rng(1)
+    img = PIL.Image.fromarray(
+        rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    )
+    out = ColorJitter(seed=0)(img)
+    assert out.size == img.size
+    assert (np.asarray(out) != np.asarray(img)).any()
+    arr = ImgNorm(img)
+    assert arr.dtype == np.float32 and arr.max() <= 1.0
+
+
+def test_pfm_roundtrip(tmp_path):
+    from iggt_official_tpu.data.scene_dataset import read_pfm
+
+    rng = np.random.default_rng(2)
+    depth = rng.uniform(0.5, 5, (12, 17)).astype(np.float32)
+    p = tmp_path / "d.pfm"
+    with open(p, "wb") as f:
+        f.write(b"Pf\n17 12\n-1.0\n")
+        np.flipud(depth).astype("<f").tofile(f)
+    np.testing.assert_allclose(read_pfm(str(p)), depth)
+
+
+def test_dataset_registry():
+    from iggt_official_tpu.data.datasets import DATASETS
+
+    assert len(DATASETS) >= 30
+    for name in ["Scannet", "Dl3dv", "Re10K", "Hypersim", "BlendedMVS",
+                 "Co3d", "Waymo", "TarTanAir", "Vkitti"]:
+        assert name in DATASETS
+
+
+def test_dl3dv_masklets(tmp_path):
+    import json
+
+    from iggt_official_tpu.data import rle
+    from iggt_official_tpu.data.datasets import Dl3dv
+
+    rng = np.random.default_rng(3)
+    W, H = 70, 56
+    n_frames = 4
+    root = tmp_path / "dl3dv"
+    seq = root / "train" / "seq0"
+    for sub in ("rgb", "depth", "cam"):
+        os.makedirs(seq / "dense" / sub)
+    masklets = []
+    for i in range(n_frames):
+        PIL.Image.fromarray(
+            rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        ).save(seq / "dense" / "rgb" / f"frame_{i:04d}.png")
+        np.save(seq / "dense" / "depth" / f"frame_{i:04d}.npy",
+                rng.uniform(0.5, 3, (H, W)).astype(np.float32))
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = [0.1 * i, 0, 0]
+        K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]],
+                     np.float32)
+        np.savez(seq / "dense" / "cam" / f"frame_{i:04d}.npz",
+                 pose=pose, intrinsic=K)
+        m = np.zeros((H, W), np.uint8)
+        m[: H // 2] = i + 1  # distinct per frame
+        masklets.append(rle.encode(m > 0))
+    with open(seq / "auto_masks.json", "w") as f:
+        json.dump({"masklet": masklets}, f)
+
+    Dl3dv.min_frames = 2
+    ds = Dl3dv(str(root), dset="train", resolution=(64, 48), seed=3)
+    views = ds[(0, 0, 2)]
+    assert len(views) == 2
+    for v in views:
+        assert "instance_ids" in v
+        assert v["instance_ids"].shape == v["depthmap"].shape
+        assert v["instance_ids"].max() == 1
