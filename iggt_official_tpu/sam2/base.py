@@ -254,11 +254,14 @@ class SAM2Base(nn.Module):
         memory: jax.Array,            # (B, M, mem_dim)
         memory_pos: jax.Array,        # (B, M, mem_dim)
         num_obj_ptr_tokens: int = 0,
+        key_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
-        """Memory-attention fusion (`sam2_base.py:648-671`)."""
+        """Memory-attention fusion (`sam2_base.py:648-671`).  `key_mask`
+        marks valid memory tokens when the bank is padded to a fixed shape
+        (keeps the jitted program static across the video)."""
         return self.memory_attention(
             curr_feats, memory, curr_pos, memory_pos,
-            num_obj_ptr_tokens=num_obj_ptr_tokens,
+            num_obj_ptr_tokens=num_obj_ptr_tokens, key_mask=key_mask,
         )
 
     def no_memory_features(self, curr_feats: jax.Array) -> jax.Array:

@@ -71,7 +71,10 @@ class RoPEAttention(nn.Module):
     feat_sizes: Tuple[int, int] = (64, 64)
 
     @nn.compact
-    def __call__(self, q, k, v, num_k_exclude_rope: int = 0):
+    def __call__(self, q, k, v, num_k_exclude_rope: int = 0,
+                 key_mask=None):
+        """key_mask: optional (B, Nk) bool — False keys are excluded
+        (enables fixed-shape padded memory banks)."""
         internal = self.embedding_dim // self.downsample_rate
         hd = internal // self.num_heads
         qp = nn.Dense(internal, name="q_proj")(q)
@@ -103,6 +106,10 @@ class RoPEAttention(nn.Module):
         kh = jnp.concatenate([k_rope, kh[:, num_k_rope:]], axis=1)
 
         logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * hd**-0.5
+        if key_mask is not None:
+            logits = jnp.where(
+                key_mask[:, None, None, :], logits, -1e30
+            )
         probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(q.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(B, Nq, internal)
         return nn.Dense(self.embedding_dim, name="out_proj")(out)
@@ -123,7 +130,7 @@ class MemoryAttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, memory, pos=None, query_pos=None,
-                 num_k_exclude_rope: int = 0):
+                 num_k_exclude_rope: int = 0, key_mask=None):
         # self attention
         tgt2 = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
         qk = tgt2 + query_pos if self.pos_enc_at_attn else tgt2
@@ -140,7 +147,8 @@ class MemoryAttentionLayer(nn.Module):
             self.d_model, num_heads=1, rope_theta=self.rope_theta,
             rope_k_repeat=True, kv_in_dim=self.kv_in_dim,
             feat_sizes=self.feat_sizes, name="cross_attn_image",
-        )(q, k, memory, num_k_exclude_rope=num_k_exclude_rope)
+        )(q, k, memory, num_k_exclude_rope=num_k_exclude_rope,
+          key_mask=key_mask)
 
         # MLP
         tgt2 = nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt)
@@ -161,8 +169,8 @@ class MemoryAttention(nn.Module):
 
     @nn.compact
     def __call__(self, curr, memory, curr_pos=None, memory_pos=None,
-                 num_obj_ptr_tokens: int = 0):
-        """curr (B, N, C); memory (B, M, kv_in_dim)."""
+                 num_obj_ptr_tokens: int = 0, key_mask=None):
+        """curr (B, N, C); memory (B, M, kv_in_dim); key_mask (B, M) bool."""
         output = curr
         if curr_pos is not None:
             output = output + 0.1 * curr_pos
@@ -171,7 +179,7 @@ class MemoryAttention(nn.Module):
                 self.d_model, self.dim_feedforward, self.rope_theta,
                 self.feat_sizes, self.kv_in_dim, name=f"layers_{i}",
             )(output, memory, pos=memory_pos, query_pos=curr_pos,
-              num_k_exclude_rope=num_obj_ptr_tokens)
+              num_k_exclude_rope=num_obj_ptr_tokens, key_mask=key_mask)
         return nn.LayerNorm(epsilon=1e-5, name="norm")(output)
 
 

@@ -16,8 +16,25 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from iggt_official_tpu.ops.connected_components import connected_components
 from iggt_official_tpu.ops.interpolate import bilinear_resize_align_corners
+
+
+@functools.partial(jax.jit, static_argnames=("mask_threshold", "max_hole",
+                                             "max_sprinkle", "orig_hw"))
+def _postprocess_jit(masks, mask_threshold, max_hole, max_sprinkle, orig_hw):
+    flat = masks
+    if max_hole > 0:
+        labels, areas = connected_components(flat <= mask_threshold)
+        is_hole = (labels > 0) & (areas <= max_hole)
+        flat = jnp.where(is_hole, mask_threshold + 10.0, flat)
+    if max_sprinkle > 0:
+        labels, areas = connected_components(flat > mask_threshold)
+        is_spark = (labels > 0) & (areas <= max_sprinkle)
+        flat = jnp.where(is_spark, mask_threshold - 10.0, flat)
+    return bilinear_resize_align_corners(flat[..., None], orig_hw)[..., 0]
 
 _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -77,13 +94,8 @@ class SAM2Transforms:
         masks = jnp.asarray(masks, jnp.float32)
         B, M = masks.shape[:2]
         flat = masks.reshape((B * M,) + masks.shape[2:])
-        if self.max_hole_area > 0:
-            labels, areas = connected_components(flat <= self.mask_threshold)
-            is_hole = (labels > 0) & (areas <= self.max_hole_area)
-            flat = jnp.where(is_hole, self.mask_threshold + 10.0, flat)
-        if self.max_sprinkle_area > 0:
-            labels, areas = connected_components(flat > self.mask_threshold)
-            is_spark = (labels > 0) & (areas <= self.max_sprinkle_area)
-            flat = jnp.where(is_spark, self.mask_threshold - 10.0, flat)
-        out = bilinear_resize_align_corners(flat[..., None], orig_hw)[..., 0]
-        return np.asarray(out.reshape((B, M) + orig_hw))
+        out = _postprocess_jit(
+            flat, self.mask_threshold, self.max_hole_area,
+            self.max_sprinkle_area, tuple(orig_hw),
+        )
+        return np.asarray(out.reshape((B, M) + tuple(orig_hw)))

@@ -47,6 +47,41 @@ class SAM2VideoPredictor:
         self._forward_image = jax.jit(
             lambda v, x: model.apply(v, x, method=SAM2Base.forward_image)
         )
+        self._condition = jax.jit(
+            lambda v, curr, cp, mem, mp, mask, n_ptr: model.apply(
+                v, curr, cp, mem, mp, n_ptr, mask,
+                method=SAM2Base.condition_on_memory,
+            ),
+            static_argnames=("n_ptr",),
+        )
+        self._no_memory = jax.jit(
+            lambda v, curr: model.apply(
+                v, curr, method=SAM2Base.no_memory_features
+            )
+        )
+        self._sam_heads = jax.jit(
+            lambda v, feats, pts, hi, multi: model.apply(
+                v, feats, pts, None, hi, multi,
+                method=SAM2Base.forward_sam_heads,
+            ),
+            static_argnames=("multi",),
+        )
+        self._encode_memory = jax.jit(
+            lambda v, feats, masks, logits: model.apply(
+                v, feats, masks, logits, method=SAM2Base.encode_new_memory
+            )
+        )
+        self._obj_ptr_tpos = jax.jit(
+            lambda v, pos: model.apply(v, pos, method=SAM2Base.obj_ptr_tpos)
+        )
+        # the maskmem temporal rows are constants of the checkpoint
+        self._tpos_rows = np.asarray(
+            model.apply(
+                variables,
+                jnp.arange(self.cfg.num_maskmem, dtype=jnp.int32),
+                method=SAM2Base.memory_tpos,
+            )
+        )
 
     # ------------------------------------------------------------------
     def init_state(self, images: Sequence[np.ndarray]) -> Dict:
@@ -221,21 +256,17 @@ class SAM2VideoPredictor:
         curr_pos = pos.reshape(B, h * w, C)
 
         if is_init_cond_frame:
-            fused = self.model.apply(
-                self.variables, curr, method=SAM2Base.no_memory_features
-            )
+            fused = self._no_memory(self.variables, curr)
         else:
-            memory, memory_pos, n_ptr_tokens = self._build_memory(
-                state, frame_idx, obj_id, reverse
+            memory, memory_pos, key_mask, n_ptr_tokens = self._build_memory(
+                state, frame_idx, obj_id, reverse, n_spatial_tokens=h * w
             )
             if memory is None:
-                fused = self.model.apply(
-                    self.variables, curr, method=SAM2Base.no_memory_features
-                )
+                fused = self._no_memory(self.variables, curr)
             else:
-                fused = self.model.apply(
+                fused = self._condition(
                     self.variables, curr, curr_pos, memory, memory_pos,
-                    n_ptr_tokens, method=SAM2Base.condition_on_memory,
+                    key_mask, n_ptr_tokens,
                 )
         fused_map = fused.reshape(B, h, w, C)
 
@@ -250,16 +281,12 @@ class SAM2VideoPredictor:
                 "point_coords": jnp.asarray(point_inputs["point_coords"]),
                 "point_labels": jnp.asarray(point_inputs["point_labels"]),
             }
-        res = self.model.apply(
-            self.variables, fused_map, pts, None, hi, multimask,
-            method=SAM2Base.forward_sam_heads,
-        )
+        res = self._sam_heads(self.variables, fused_map, pts, hi, multimask)
         _, _, ious, low_res_masks, high_res_masks, obj_ptr, obj_logits = res
 
-        mem_feats, mem_pos = self.model.apply(
+        mem_feats, mem_pos = self._encode_memory(
             self.variables, feats,
-            jnp.moveaxis(high_res_masks, 1, -1),
-            obj_logits, method=SAM2Base.encode_new_memory,
+            jnp.moveaxis(high_res_masks, 1, -1), obj_logits,
         )
         return {
             "maskmem_features": np.asarray(mem_feats),
@@ -270,45 +297,53 @@ class SAM2VideoPredictor:
         }
 
     # ------------------------------------------------------------------
-    def _build_memory(self, state, frame_idx, obj_id, reverse):
-        """Assemble the memory bank (`sam2_base.py:490-647`)."""
+    def _build_memory(self, state, frame_idx, obj_id, reverse,
+                      n_spatial_tokens):
+        """Assemble a FIXED-SHAPE memory bank (`sam2_base.py:490-647`).
+
+        Spatial memories pad to num_maskmem frame slots and object pointers
+        to max_obj_ptrs_in_encoder blocks; padded tokens are masked out in
+        the attention.  Fixed shapes keep the jitted conditioner from
+        recompiling as the bank grows through the video.
+        """
         cfg = self.cfg
         cond = self._obj_store(state, obj_id, "cond_frame_outputs")
         non_cond = self._obj_store(state, obj_id, "non_cond_frame_outputs")
         if not cond:
-            return None, None, 0
+            return None, None, None, 0
 
-        mems, mem_pos = [], []
         t_and_prev = [(0, out) for _, out in sorted(cond.items())]
         for t_pos in range(1, cfg.num_maskmem):
             t_rel = cfg.num_maskmem - t_pos
             prev_idx = frame_idx + t_rel if reverse else frame_idx - t_rel
             out = non_cond.get(prev_idx)
             if out is None:
-                out = cond.get(prev_idx)  # unselected-cond fallback
-                if out is not None and any(
-                    o is out for _, o in t_and_prev
-                ):
+                out = cond.get(prev_idx)
+                if out is not None and any(o is out for _, o in t_and_prev):
                     out = None
             if out is not None:
                 t_and_prev.append((t_pos, out))
+        t_and_prev = t_and_prev[: cfg.num_maskmem]
 
-        for t_pos, prev in t_and_prev:
-            f = jnp.asarray(prev["maskmem_features"])  # (1, mh, mw, mem)
-            mems.append(f.reshape(1, -1, f.shape[-1]))
-            p = jnp.asarray(prev["maskmem_pos_enc"]).reshape(
-                1, -1, f.shape[-1]
-            )
-            tpos_row = self.model.apply(
-                self.variables,
-                jnp.asarray([cfg.num_maskmem - t_pos - 1]),
-                method=SAM2Base.memory_tpos,
-            )
-            mem_pos.append(p + tpos_row[None])
+        mem_dim = cfg.mem_dim
+        n_slots = cfg.num_maskmem
+        mem = np.zeros((1, n_slots * n_spatial_tokens, mem_dim), np.float32)
+        mem_pos = np.zeros_like(mem)
+        mask = np.zeros((1, n_slots * n_spatial_tokens), bool)
+        tpos_rows = self._tpos_rows
+        for slot, (t_pos, prev) in enumerate(t_and_prev):
+            f = prev["maskmem_features"].reshape(-1, mem_dim)
+            p = prev["maskmem_pos_enc"].reshape(-1, mem_dim)
+            sl = slice(slot * n_spatial_tokens, (slot + 1) * n_spatial_tokens)
+            mem[0, sl] = f
+            mem_pos[0, sl] = p + tpos_rows[cfg.num_maskmem - t_pos - 1]
+            mask[0, sl] = True
 
+        # object pointers: fixed max_ptrs * split token block
+        split = max(cfg.d_model // cfg.mem_dim, 1)
+        max_ptrs = min(state["num_frames"], cfg.max_obj_ptrs_in_encoder)
         n_ptr_tokens = 0
         if cfg.use_obj_ptrs_in_encoder:
-            max_ptrs = min(state["num_frames"], cfg.max_obj_ptrs_in_encoder)
             sign = -1 if reverse else 1
             pos_and_ptrs = [
                 (
@@ -327,30 +362,36 @@ class SAM2VideoPredictor:
                 out = non_cond.get(t)
                 if out is not None:
                     pos_and_ptrs.append((t_diff, out["obj_ptr"]))
+            pos_and_ptrs = pos_and_ptrs[:max_ptrs]
+
+            n_ptr_tokens = max_ptrs * split
+            ptr_block = np.zeros((1, n_ptr_tokens, mem_dim), np.float32)
+            ptr_pos = np.zeros_like(ptr_block)
+            ptr_mask = np.zeros((1, n_ptr_tokens), bool)
             if pos_and_ptrs:
                 pos_list, ptr_list = zip(*pos_and_ptrs)
-                ptrs = jnp.asarray(np.stack(ptr_list))  # (P, C)
+                ptrs = np.stack(ptr_list).reshape(-1, split, mem_dim)
                 if cfg.add_tpos_enc_to_obj_ptrs:
                     t_diff_max = max(max_ptrs - 1, 1)
-                    obj_pos = self.model.apply(
-                        self.variables,
-                        jnp.asarray(pos_list, jnp.float32) / t_diff_max,
-                        method=SAM2Base.obj_ptr_tpos,
-                    )  # (P, mem_dim)
+                    # pad to the fixed block so the jitted program is shared
+                    pos_arr = np.zeros(max_ptrs, np.float32)
+                    pos_arr[: len(pos_list)] = np.asarray(pos_list) / t_diff_max
+                    obj_pos = np.asarray(
+                        self._obj_ptr_tpos(self.variables, jnp.asarray(pos_arr))
+                    )[: len(pos_list)]
                 else:
-                    obj_pos = jnp.zeros(
-                        (len(pos_list), cfg.mem_dim), jnp.float32
-                    )
-                if cfg.mem_dim < cfg.d_model:
-                    split = cfg.d_model // cfg.mem_dim
-                    ptrs = ptrs.reshape(-1, split, cfg.mem_dim).reshape(
-                        -1, cfg.mem_dim
-                    )
-                    obj_pos = jnp.repeat(obj_pos, split, axis=0)
-                mems.append(ptrs[None])
-                mem_pos.append(obj_pos[None])
-                n_ptr_tokens = ptrs.shape[0]
+                    obj_pos = np.zeros((len(pos_list), mem_dim), np.float32)
+                n = len(pos_list) * split
+                ptr_block[0, :n] = ptrs.reshape(-1, mem_dim)
+                ptr_pos[0, :n] = np.repeat(obj_pos, split, axis=0)
+                ptr_mask[0, :n] = True
+            mem = np.concatenate([mem, ptr_block], axis=1)
+            mem_pos = np.concatenate([mem_pos, ptr_pos], axis=1)
+            mask = np.concatenate([mask, ptr_mask], axis=1)
 
-        memory = jnp.concatenate(mems, axis=1)
-        memory_pos = jnp.concatenate(mem_pos, axis=1)
-        return memory, memory_pos, n_ptr_tokens
+        return (
+            jnp.asarray(mem),
+            jnp.asarray(mem_pos),
+            jnp.asarray(mask),
+            n_ptr_tokens,
+        )

@@ -279,3 +279,67 @@ def test_dl3dv_masklets(tmp_path):
         assert "instance_ids" in v
         assert v["instance_ids"].shape == v["depthmap"].shape
         assert v["instance_ids"].max() == 1
+
+
+def test_entity_image_dataset(tmp_path):
+    import json
+
+    from iggt_official_tpu.data import rle
+    from iggt_official_tpu.data.seg2d import EntityImage
+
+    rng = np.random.default_rng(4)
+    os.makedirs(tmp_path / "imgs")
+    H, W = 64, 80
+    PIL.Image.fromarray(
+        rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    ).save(tmp_path / "imgs" / "a.jpg")
+    m = np.zeros((H, W), np.uint8)
+    m[10:30, 10:40] = 1
+    coco = {
+        "images": [{"id": 1, "file_name": "a.jpg", "height": H, "width": W}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "segmentation": rle.encode(m > 0)},
+            {"id": 2, "image_id": 1,
+             "segmentation": [[50.0, 40.0, 70.0, 40.0, 70.0, 60.0, 50.0, 60.0]]},
+        ],
+    }
+    with open(tmp_path / "ann.json", "w") as f:
+        json.dump(coco, f)
+
+    ds = EntityImage(str(tmp_path / "imgs"), str(tmp_path / "ann.json"),
+                     resolution=48, seed=0)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["img"].shape == (48, 48, 3)
+    assert item["instance_ids"].shape == (48, 48)
+    assert set(np.unique(item["instance_ids"])) <= {0, 1, 2}
+    assert (item["instance_ids"] > 0).any()
+
+
+def test_sav_dataset(tmp_path):
+    import json
+
+    from iggt_official_tpu.data import rle
+    from iggt_official_tpu.data.seg2d import SAVDataset
+
+    H, W = 32, 40
+    masklet = []
+    for f in range(3):
+        frame_masks = []
+        for k in range(4):
+            m = np.zeros((H, W), np.uint8)
+            m[k * 6 : k * 6 + 6] = 1
+            frame_masks.append(rle.encode(m > 0))
+        masklet.append(frame_masks)
+    p = tmp_path / "auto_masks.json"
+    with open(p, "w") as f:
+        json.dump({"masklet": masklet}, f)
+
+    sav = SAVDataset()
+    out = sav.sample_masks_from_frames(str(p), [0, 2], mask_sample_num=2,
+                                       random_seed=0)
+    assert set(out) == {0, 2}
+    for masks in out.values():
+        assert len(masks) == 2
+        for m in masks:
+            assert m.shape == (H, W) and m.dtype == bool and m.sum() == 6 * W
