@@ -79,9 +79,9 @@ _RENAME_RULES: Tuple[Tuple[str, Optional[str]], ...] = (
     (r"\.residual_conv\.4$", ".res_bn2"),
     # DINOv2 mask_token is unused at inference (`vision_transformer.py`)
     (r"^(.*\.)?patch_embed\.mask_token$", None),
-    # Swin wrappers (`window_sa.py:321-545`) — scope the patch_embed.norm
-    # rename to the Swin modules so the DINOv2 ViT's final norm keeps its name
-    (r"(_atten|_attention)\.patch_embed\.norm$", r"\1.patch_norm"),
+    # Swin wrappers (`window_sa.py:321-545`) — everywhere EXCEPT the DINOv2
+    # ViT patch embed (`aggregator.patch_embed.norm` is its final LayerNorm)
+    (r"(?<!aggregator)\.patch_embed\.norm$", ".patch_norm"),
     (r"\.atten_block\.attn\.qkv$", ".atten_block.attn_qkv"),
     (r"\.atten_block\.attn\.proj$", ".atten_block.attn_proj"),
     (r"\.conv_block\.cab\.0$", ".conv_block.conv1"),
