@@ -307,13 +307,19 @@ class IGGTProcessor:
         os.makedirs(depth_dir, exist_ok=True)
         cmap = colormaps.get_cmap("jet")
         lo, hi = np.percentile(depths, [2, 98])
+        frames = []
         for i, d in enumerate(depths):
             normed = np.clip((d - lo) / max(hi - lo, 1e-12), 0, 1)
             rgb = (cmap(normed)[..., :3] * 255).astype(np.uint8)
-            Image.fromarray(rgb).save(
-                os.path.join(depth_dir, f"depth_{i:04d}.png")
-            )
+            frames.append(Image.fromarray(rgb))
+            frames[-1].save(os.path.join(depth_dir, f"depth_{i:04d}.png"))
         np.save(os.path.join(depth_dir, "depth.npy"), depths)
+        # animated GIF across views (`demo.py:435-609`)
+        if len(frames) > 1:
+            frames[0].save(
+                os.path.join(depth_dir, "depth_animation.gif"),
+                save_all=True, append_images=frames[1:], duration=200, loop=0,
+            )
 
     # ------------------------------------------------------------------
     def _export_glbs(self, preds: Dict[str, np.ndarray], save_dir: str):
