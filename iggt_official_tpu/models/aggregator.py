@@ -58,6 +58,9 @@ class Aggregator(nn.Module):
     cfg: AggregatorConfig
     dtype: jnp.dtype = jnp.float32
     attn_fn: Callable = sdpa_xla
+    # optional distinct implementation for the global blocks (e.g. the
+    # shard_map sequence-parallel attention from parallel/attention.py)
+    global_attn_fn: Optional[Callable] = None
     # rematerialize each AA block under grad (parity with the reference's
     # per-block gradient checkpointing, `aggregator.py:293-299,323-329`)
     remat: bool = False
@@ -118,6 +121,9 @@ class Aggregator(nn.Module):
         block_cls = nn.remat(Block) if self.remat else Block
 
         def make_block(kind: str, i: int) -> Block:
+            attn = self.attn_fn
+            if kind == "global" and self.global_attn_fn is not None:
+                attn = self.global_attn_fn
             return block_cls(
                 dim=C,
                 num_heads=cfg.num_heads,
@@ -128,7 +134,7 @@ class Aggregator(nn.Module):
                 init_values=cfg.init_values,
                 qk_norm=cfg.qk_norm,
                 dtype=self.dtype,
-                attn_fn=self.attn_fn,
+                attn_fn=attn,
                 name=f"{kind}_blocks_{i}",
             )
 

@@ -122,6 +122,7 @@ class VGGT(nn.Module):
         images: jax.Array,
         query_points: Optional[jax.Array] = None,
         attn_fn: Callable = sdpa_xla,
+        global_attn_fn: Optional[Callable] = None,
         remat: bool = False,
         shard_fn: Optional[Callable] = None,
     ) -> Dict[str, jax.Array]:
@@ -129,7 +130,8 @@ class VGGT(nn.Module):
         B, S, H, W, _ = images.shape
         tokens_list, patch_start_idx = Aggregator(
             cfg.aggregator.with_vit(), dtype=_dtype(cfg.trunk_dtype),
-            attn_fn=attn_fn, remat=remat, shard_fn=shard_fn, name="aggregator",
+            attn_fn=attn_fn, global_attn_fn=global_attn_fn, remat=remat,
+            shard_fn=shard_fn, name="aggregator",
         )(images)
         # tokens stay in trunk dtype (bf16) in HBM; heads upcast to fp32 at
         # their entry (`vggt.py:189` equivalent)
@@ -174,6 +176,7 @@ class IGGT(nn.Module):
         images: jax.Array,
         query_points: Optional[jax.Array] = None,
         attn_fn: Callable = sdpa_xla,
+        global_attn_fn: Optional[Callable] = None,
         remat: bool = False,
         shard_fn: Optional[Callable] = None,
     ) -> Dict[str, jax.Array]:
@@ -181,7 +184,8 @@ class IGGT(nn.Module):
         B, S, H, W, _ = images.shape
         tokens_list, patch_start_idx = Aggregator(
             cfg.aggregator.with_vit(), dtype=_dtype(cfg.trunk_dtype),
-            attn_fn=attn_fn, remat=remat, shard_fn=shard_fn, name="aggregator",
+            attn_fn=attn_fn, global_attn_fn=global_attn_fn, remat=remat,
+            shard_fn=shard_fn, name="aggregator",
         )(images)
         # tokens stay in trunk dtype (bf16) in HBM — 24 x (B,S,P,2048) maps;
         # every head upcasts to fp32 at its entry (`vggt.py:189` equivalent)

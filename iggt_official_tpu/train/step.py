@@ -169,14 +169,27 @@ def make_train_step(
     equivalent) and all-gathers global-attention k/v over "seq".
     """
     shard_fn = make_token_sharder(mesh) if mesh is not None else None
+    if mesh is not None:
+        # explicit shard_map attention: GSPMD cannot partition the Pallas
+        # flash custom call, so the frame blocks run batch-sharded local
+        # attention and the global blocks all-gather K/V over "seq"
+        from iggt_official_tpu.parallel.attention import make_mesh_attention_fns
+
+        frame_attn, global_attn = make_mesh_attention_fns(mesh)
+    else:
+        frame_attn = global_attn = None
 
     def step(state: TrainState, batch: Dict[str, jax.Array]):
         def loss_fn(params):
+            kwargs = {}
+            if frame_attn is not None:
+                kwargs = dict(attn_fn=frame_attn, global_attn_fn=global_attn)
             preds = model.apply(
                 {"params": params},
                 batch["images"],
                 remat=True,
                 shard_fn=shard_fn,
+                **kwargs,
             )
             return total_loss(preds, batch, loss_weights)
 

@@ -95,3 +95,33 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_shard_map_attention_matches_local(mesh):
+    """The explicit shard_map frame/global attention wrappers (the path
+    multi-chip TPU needs, since GSPMD can't partition the Pallas call)
+    match the unsharded forward."""
+    import jax.numpy as jnp
+
+    from iggt_official_tpu.parallel.attention import make_mesh_attention_fns
+
+    model, cfg = _tiny_model(trunk_dtype="float32")
+    rng = np.random.default_rng(5)
+    B, S, H, W = 2, 4, 28, 28
+    images = rng.uniform(0, 1, (B, S, H, W, 3)).astype(np.float32)
+
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(images))
+    ref = model.apply(params, jnp.asarray(images))
+
+    frame_fn, global_fn = make_mesh_attention_fns(mesh)
+    sharded_images = jax.device_put(images, batch_sharding(mesh))
+    out = jax.jit(
+        lambda p, x: model.apply(
+            p, x, attn_fn=frame_fn, global_attn_fn=global_fn,
+            shard_fn=make_token_sharder(mesh),
+        )
+    )(params, sharded_images)
+    for k in ["depth", "world_points", "part_feat"]:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), rtol=5e-3, atol=2e-3
+        )
