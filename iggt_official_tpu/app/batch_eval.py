@@ -1,0 +1,105 @@
+"""Batch scene evaluation: run the full pipeline over many scene dirs.
+
+Covers BASELINE.json configs 1-2: every scene under --scenes_root (e.g. the
+reference's `iggt_demo/demo1..9`) goes through inference + clustering/KNN/
+PCA post-processing + export; per-scene evaluation reports (when GT exists)
+are aggregated into `summary.json` with mean depth/pose metrics and
+throughput (views/sec including post-processing).
+
+Usage:
+    python -m iggt_official_tpu.app.batch_eval \
+        --scenes_root /root/reference/iggt_demo --save_dir out [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, List
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def aggregate_summaries(summaries: List[Dict[str, Any]]) -> Dict[str, Any]:
+    agg: Dict[str, Any] = {}
+    depth_keys = ["absrel", "inliers103", "mae", "rmse", "delta_1"]
+    pose_keys = ["translation_error", "rotation_error"]
+    depth_vals = {k: [] for k in depth_keys}
+    pose_vals = {k: [] for k in pose_keys}
+    for s in summaries:
+        for k in depth_keys:
+            v = s.get("depth", {}).get(k)
+            if v is not None and np.isfinite(v):
+                depth_vals[k].append(v)
+        for k in pose_keys:
+            v = s.get("pose", {}).get(k)
+            if v is not None and np.isfinite(v):
+                pose_vals[k].append(v)
+    agg["depth"] = {k: float(np.mean(v)) for k, v in depth_vals.items() if v}
+    agg["pose"] = {k: float(np.mean(v)) for k, v in pose_vals.items() if v}
+    return agg
+
+
+def main() -> None:
+    from iggt_official_tpu.app.demo import CLUSTERING_PRESETS, IGGTProcessor
+    from iggt_official_tpu.config import RuntimeConfig
+
+    parser = argparse.ArgumentParser(description="IGGT TPU batch evaluation")
+    parser.add_argument("--scenes_root", required=True,
+                        help="directory of scene dirs (each with images/)")
+    parser.add_argument("--save_dir", required=True)
+    parser.add_argument("--model_path", default=None)
+    parser.add_argument("--preset", default="large",
+                        choices=list(CLUSTERING_PRESETS))
+    parser.add_argument("--image_size", type=int, nargs=2, default=(504, 336),
+                        metavar=("W", "H"))
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    runtime = RuntimeConfig(
+        image_size=tuple(args.image_size),
+        clustering=CLUSTERING_PRESETS[args.preset],
+    )
+    processor = IGGTProcessor(args.model_path, runtime=runtime)
+
+    scene_dirs = sorted(
+        d for d in glob.glob(os.path.join(args.scenes_root, "*"))
+        if os.path.isdir(os.path.join(d, "images"))
+    )
+    if not scene_dirs:
+        raise FileNotFoundError(f"no scenes with images/ under {args.scenes_root}")
+
+    summaries: List[Dict] = []
+    total_views = 0
+    t0 = time.time()
+    for scene in scene_dirs:
+        name = os.path.basename(scene.rstrip(os.sep))
+        logger.info("processing scene %s", name)
+        out_dir = os.path.join(args.save_dir, name)
+        results = processor.process_scene(scene, out_dir)
+        total_views += results["predictions"]["depth"].shape[0]
+        if "evaluation" in results:
+            summaries.append(results["evaluation"]["summary"])
+    elapsed = time.time() - t0
+
+    summary = {
+        "num_scenes": len(scene_dirs),
+        "num_views": total_views,
+        "total_seconds": elapsed,
+        "views_per_sec_end_to_end": total_views / elapsed,
+        "metrics": aggregate_summaries(summaries),
+    }
+    os.makedirs(args.save_dir, exist_ok=True)
+    with open(os.path.join(args.save_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

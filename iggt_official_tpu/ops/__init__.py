@@ -1,1 +1,13 @@
-"""TPU kernels and numeric ops: attention, resize, KNN, clustering, PCA."""
+"""TPU kernels and compute ops.
+
+- `flash_attention`: streaming Pallas online-softmax attention + dispatch.
+- `connected_components`: batched CCL (the CUDA kernel replacement).
+- `knn`: Morton-order k-NN feature smoothing.
+- `cluster`: density clustering (HDBSCAN-role) with on-device compression.
+- `pca`: joint multi-view PCA colormap.
+- `conv` / `interpolate`: torch-parity NHWC convs and resizes.
+"""
+
+from iggt_official_tpu.ops.flash_attention import attention, flash_attention, sdpa_chunked
+
+__all__ = ["attention", "flash_attention", "sdpa_chunked"]
