@@ -64,12 +64,67 @@ def make_global_attention(
     return fn
 
 
+def make_ring_global_attention(mesh: Mesh) -> Callable:
+    """Ring attention over the "seq" axis (SURVEY §7 scale-out plan).
+
+    Each device holds one sequence shard of Q/K/V; K/V shards rotate around
+    the ring with `ppermute` while an online softmax accumulates — per-step
+    memory is O(n_local^2) and XLA overlaps the permute with the next
+    step's compute.  Equivalent numerics to the all-gather variant with
+    num_devices-fold lower peak K/V memory; preferable at 32-64 views.
+    """
+    import jax.numpy as jnp
+
+    spec = P(AXIS_DATA, AXIS_SEQ, None, None)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False,
+    )
+    def fn(q, k, v):
+        size = mesh.shape[AXIS_SEQ]
+        scale = q.shape[-1] ** -0.5
+        B, nq = q.shape[0], q.shape[1]
+        H = q.shape[2]
+        perm = [(j, (j + 1) % size) for j in range(size)]
+
+        m0 = jnp.full((B, H, nq, 1), -1e30, jnp.float32)
+        l0 = jnp.zeros((B, H, nq, 1), jnp.float32)
+        acc0 = jnp.zeros((B, nq, H, q.shape[-1]), jnp.float32)
+
+        def step(i, carry):
+            m, l, acc, k_cur, v_cur = carry
+            s = jnp.einsum("bqhd,bkhd->bhqk", q, k_cur).astype(
+                jnp.float32
+            ) * scale
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v_cur.dtype), v_cur)
+            acc_new = (
+                acc * jnp.moveaxis(alpha, 1, 2) + pv.astype(jnp.float32)
+            )
+            k_next = jax.lax.ppermute(k_cur, AXIS_SEQ, perm)
+            v_next = jax.lax.ppermute(v_cur, AXIS_SEQ, perm)
+            return m_new, l_new, acc_new, k_next, v_next
+
+        m, l, acc, _, _ = jax.lax.fori_loop(0, size, step, (m0, l0, acc0, k, v))
+        out = acc / jnp.moveaxis(jnp.maximum(l, 1e-30), 1, 2)
+        return out.astype(q.dtype)
+
+    return fn
+
+
 def make_mesh_attention_fns(
-    mesh: Optional[Mesh], base_fn: Callable = attention
+    mesh: Optional[Mesh], base_fn: Callable = attention, ring: bool = False
 ):
     """(frame_attn_fn, global_attn_fn) for a mesh (or the plain kernel)."""
     if mesh is None:
         return base_fn, base_fn
-    return make_frame_attention(mesh, base_fn), make_global_attention(
-        mesh, base_fn
+    global_fn = (
+        make_ring_global_attention(mesh)
+        if ring
+        else make_global_attention(mesh, base_fn)
     )
+    return make_frame_attention(mesh, base_fn), global_fn

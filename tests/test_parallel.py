@@ -97,6 +97,29 @@ def test_graft_entry_dryrun():
     g.dryrun_multichip(8)
 
 
+def test_ring_attention_matches_all_gather(mesh):
+    """The ppermute ring global attention computes the same softmax as the
+    all-gather-KV baseline (online-softmax across ring steps)."""
+    from iggt_official_tpu.parallel.attention import (
+        make_global_attention,
+        make_ring_global_attention,
+    )
+
+    rng = np.random.default_rng(7)
+    B, N, H, D = 2, 64, 4, 16  # N divisible by n_seq=4
+    q = jnp.asarray(rng.normal(0, 1, (B, N, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 1, (B, N, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 1, (B, N, H, D)).astype(np.float32))
+
+    gather_fn = make_global_attention(mesh)
+    ring_fn = make_ring_global_attention(mesh)
+    ref = jax.jit(gather_fn)(q, k, v)
+    out = jax.jit(ring_fn)(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
 def test_shard_map_attention_matches_local(mesh):
     """The explicit shard_map frame/global attention wrappers (the path
     multi-chip TPU needs, since GSPMD can't partition the Pallas call)
