@@ -164,6 +164,8 @@ class SAM2Base(nn.Module):
             self.obj_ptr_tpos(jnp.zeros((1,)))
         _ = self.no_memory_features(curr)
         _ = self.memory_tpos(jnp.zeros((1,), jnp.int32))
+        # trace the mask-prompt path so mask_conv*/mask_ln* exist
+        _ = self.sam_prompt_encoder(masks=jnp.zeros((B, 4 * h, 4 * w, 1)))
         return fused
 
     # ------------------------------------------------------------------

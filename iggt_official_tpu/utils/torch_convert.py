@@ -114,6 +114,91 @@ def iggt_rename(name: str) -> Optional[str]:
     return f"{new_module}.{leaf}" if new_module else leaf
 
 
+# ---------------------------------------------------------------------------
+# SAM2 checkpoint conversion (released sam2_hiera_*.pt / sam2.1_*.pt files;
+# module layout from `sam2/modeling/sam2_base.py` and friends).
+
+_SAM2_RENAME_RULES: Tuple[Tuple[str, str], ...] = (
+    # FpnNeck convs are direct ImageEncoder children here
+    # (`backbones/image_encoder.py:39-80`)
+    (r"image_encoder\.neck\.convs\.(\d+)\.conv\.", r"image_encoder.neck_convs_\1."),
+    (r"\.trunk\.patch_embed\.proj\.", ".trunk.patch_embed_proj."),
+    # memory encoder fuser (`memory_encoder.py`)
+    (r"memory_encoder\.fuser\.layers\.(\d+)\.", r"memory_encoder.fuser_layers_\1."),
+    # high-res skip convs live on SAM2Base, not the decoder
+    # (`sam2_base.py:230-240` creates them there; ours keeps them top-level)
+    (r"^sam_mask_decoder\.conv_s([01])\.", r"conv_s\1."),
+    # prompt encoder mask_downscaling Sequential (`sam/prompt_encoder.py:40-50`)
+    (r"\.mask_downscaling\.0\.", ".mask_conv1."),
+    (r"\.mask_downscaling\.1\.", ".mask_ln1."),
+    (r"\.mask_downscaling\.3\.", ".mask_conv2."),
+    (r"\.mask_downscaling\.4\.", ".mask_ln2."),
+    (r"\.mask_downscaling\.6\.", ".mask_conv3."),
+    # nn.Embedding tables become plain params (drop the .weight leaf)
+    (r"\.(iou_token|mask_tokens|obj_score_token)\.weight$", r".\1"),
+)
+
+_SAM2_CONVTRANSPOSE_PATTERNS = [
+    # MaskDecoder.output_upscaling stages 0 and 2 (`sam/mask_decoder.py`)
+    r"output_upscaling\.[03]$",
+]
+
+
+def sam2_rename(name: str) -> Optional[str]:
+    for pattern, repl in _SAM2_RENAME_RULES:
+        name = re.sub(pattern, repl, name)
+    return name
+
+
+def sam2_state_dict_to_flax(state_dict: TensorDict) -> Dict:
+    """Convert a released SAM2 torch checkpoint into this package's flax
+    params tree (`SAM2Base.init_all` structure).
+
+    Handles the handful of layout changes beyond the generic rules:
+    NCHW backbone pos embeds -> HWC, squeezed prompt-encoder embedding
+    tables, the stacked ``point_embeddings`` ModuleList, and the squeezed
+    ``maskmem_tpos_enc``.
+    """
+    sd = dict(strip_module_prefix(state_dict))
+    if "model" in sd and not hasattr(sd["model"], "ndim"):
+        sd = dict(sd["model"])  # released ckpts wrap the weights
+
+    specials: Dict[Tuple[str, ...], np.ndarray] = {}
+
+    def pop(name):
+        return np.asarray(sd.pop(name))
+
+    for key in ("pos_embed", "pos_embed_window"):
+        full = f"image_encoder.trunk.{key}"
+        if full in sd:  # (1, C, H, W) -> (H, W, C)
+            specials[("image_encoder", "trunk", key)] = np.ascontiguousarray(
+                pop(full)[0].transpose(1, 2, 0)
+            )
+    if "maskmem_tpos_enc" in sd:  # (M, 1, 1, D) -> (M, 1, D)
+        specials[("maskmem_tpos_enc",)] = pop("maskmem_tpos_enc")[:, 0]
+    for key in ("no_mask_embed", "not_a_point_embed"):
+        full = f"sam_prompt_encoder.{key}.weight"
+        if full in sd:  # (1, C) -> (C,)
+            specials[("sam_prompt_encoder", key)] = pop(full)[0]
+    pts = [
+        f"sam_prompt_encoder.point_embeddings.{i}.weight" for i in range(4)
+    ]
+    if all(p in sd for p in pts):  # 4x (1, C) -> (4, C)
+        specials[("sam_prompt_encoder", "point_embeddings")] = np.concatenate(
+            [pop(p) for p in pts], axis=0
+        )
+
+    def is_ct(path):
+        return any(re.search(p, path) for p in _SAM2_CONVTRANSPOSE_PATTERNS)
+
+    tree = torch_state_dict_to_flax(
+        sd, rename=sam2_rename, conv_transpose_paths=is_ct
+    )
+    flat = flatten_tree(tree)
+    flat.update(specials)
+    return unflatten_tree(flat)
+
+
 def _merge_digits(parts: Iterable[str]) -> Tuple[str, ...]:
     out = []
     for p in parts:

@@ -135,6 +135,11 @@ def install_stubs():
     _stub("requests")
     _stub("onnxruntime")
 
+    # sam2 backbone imports (file IO manager; unused on the numeric path)
+    _stub("iopath")
+    _stub("iopath.common")
+    _stub("iopath.common.file_io", g_pathmgr=_Anything())
+
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)
     _installed = True
