@@ -67,6 +67,10 @@ class Aggregator(nn.Module):
     # optional sharding-constraint hook (tokens, "frame"|"global") -> tokens,
     # see iggt_official_tpu.parallel.make_token_sharder
     shard_fn: Optional[Callable] = None
+    # merge this many KV tokens out of the global-attention blocks
+    # (FastVGGT-style training-free acceleration, ops/token_merge.py);
+    # 0 disables.  Clamped to the unprotected-candidate count.
+    global_merge_r: int = 0
 
     @nn.compact
     def __call__(
@@ -120,10 +124,36 @@ class Aggregator(nn.Module):
 
         block_cls = nn.remat(Block) if self.remat else Block
 
+        merged_attn: Optional[Callable] = None
+        if self.global_merge_r > 0:
+            import numpy as np
+
+            from iggt_official_tpu.ops.token_merge import (
+                compute_merge_plan,
+                make_merged_attention,
+            )
+
+            # protect camera/register tokens and the whole reference frame 0
+            frame_id = np.repeat(np.arange(S), P)
+            pos_in_frame = np.tile(np.arange(P), S)
+            protect_np = (frame_id == 0) | (pos_in_frame < patch_start_idx)
+            n_candidates = int((~protect_np)[1::2].sum())
+            r = min(self.global_merge_r, n_candidates)
+            protect = jnp.broadcast_to(
+                jnp.asarray(protect_np)[None], (B, S * P)
+            )
+            plan = compute_merge_plan(
+                tokens.reshape(B, S * P, C).astype(jnp.float32), r, protect
+            )
+            merged_attn = make_merged_attention(plan)
+
         def make_block(kind: str, i: int) -> Block:
             attn = self.attn_fn
-            if kind == "global" and self.global_attn_fn is not None:
-                attn = self.global_attn_fn
+            if kind == "global":
+                if merged_attn is not None:
+                    attn = merged_attn
+                elif self.global_attn_fn is not None:
+                    attn = self.global_attn_fn
             return block_cls(
                 dim=C,
                 num_heads=cfg.num_heads,

@@ -125,13 +125,15 @@ class VGGT(nn.Module):
         global_attn_fn: Optional[Callable] = None,
         remat: bool = False,
         shard_fn: Optional[Callable] = None,
+        global_merge_r: int = 0,
     ) -> Dict[str, jax.Array]:
         cfg = self.cfg
         B, S, H, W, _ = images.shape
         tokens_list, patch_start_idx = Aggregator(
             cfg.aggregator.with_vit(), dtype=_dtype(cfg.trunk_dtype),
             attn_fn=attn_fn, global_attn_fn=global_attn_fn, remat=remat,
-            shard_fn=shard_fn, name="aggregator",
+            shard_fn=shard_fn, global_merge_r=global_merge_r,
+            name="aggregator",
         )(images)
         # tokens stay in trunk dtype (bf16) in HBM; heads upcast to fp32 at
         # their entry (`vggt.py:189` equivalent)
@@ -179,13 +181,15 @@ class IGGT(nn.Module):
         global_attn_fn: Optional[Callable] = None,
         remat: bool = False,
         shard_fn: Optional[Callable] = None,
+        global_merge_r: int = 0,
     ) -> Dict[str, jax.Array]:
         cfg = self.cfg
         B, S, H, W, _ = images.shape
         tokens_list, patch_start_idx = Aggregator(
             cfg.aggregator.with_vit(), dtype=_dtype(cfg.trunk_dtype),
             attn_fn=attn_fn, global_attn_fn=global_attn_fn, remat=remat,
-            shard_fn=shard_fn, name="aggregator",
+            shard_fn=shard_fn, global_merge_r=global_merge_r,
+            name="aggregator",
         )(images)
         # tokens stay in trunk dtype (bf16) in HBM — 24 x (B,S,P,2048) maps;
         # every head upcasts to fp32 at its entry (`vggt.py:189` equivalent)

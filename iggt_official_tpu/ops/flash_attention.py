@@ -41,9 +41,14 @@ NEG_INF = -1e30
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-    *, bk: int, n_keys: int, scale: float,
+    *refs,
+    bk: int, n_keys: int, scale: float, has_bias: bool,
 ):
+    if has_bias:
+        q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        bias_ref = None
     """Streaming flash step: one (BQ, D) query block x one (BK, D) key block.
 
     The kv-block index is the innermost grid dimension; the fp32 running
@@ -71,6 +76,8 @@ def _flash_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale                                          # (BQ, BK) f32
+    if bias_ref is not None:
+        s = s + bias_ref[0][None, :]                   # per-key logit bias
     key_idx = ik * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     s = jnp.where(key_idx < n_keys, s, NEG_INF)
 
@@ -102,41 +109,64 @@ def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
+    key_bias: Optional[jax.Array] = None,
     block_q: int = 1024,
     block_k: int = 1024,
 ) -> jax.Array:
-    """Fused attention, (B, N, H, D) -> (B, N, H, D), no masking/causality."""
-    B, N, H, D = q.shape
+    """Fused attention, (B, Nq, H, D) x (B, Nk, H, D) -> (B, Nq, H, D).
+
+    ``key_bias`` (B, Nk) fp32 is added to every query's logits — the
+    proportional-attention term for merged KV tokens (ops/token_merge.py).
+    No masking/causality."""
+    B, Nq, H, D = q.shape
+    Nk = k.shape[1]
     scale = 1.0 / math.sqrt(D)
 
     # adaptive blocks: large blocks win at long N, but padding N up to the
     # block size wastes FLOPs at short N (e.g. the per-frame ViT's 1369
     # tokens padded to 2048 is ~50% waste)
-    if N < 4 * max(block_q, block_k):
+    if max(Nq, Nk) < 4 * max(block_q, block_k):
         block_q = block_k = 512
-    bq = bk = min(max(block_q, block_k), _round_up(N, 128))
-    n_pad = _round_up(N, bq)
+    blk = max(block_q, block_k)
+    bq = min(blk, _round_up(Nq, 128))
+    bk = min(blk, _round_up(Nk, 128))
+    nq_pad = _round_up(Nq, bq)
+    nk_pad = _round_up(Nk, bk)
 
-    def to_bh(x):  # (B, N, H, D) -> (B*H, N_pad, D)
-        x = jnp.swapaxes(x, 1, 2).reshape(B * H, N, D)
-        return jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
+    def to_bh(x, n_pad):  # (B, N, H, D) -> (B*H, N_pad, D)
+        n = x.shape[1]
+        x = jnp.swapaxes(x, 1, 2).reshape(B * H, n, D)
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
 
-    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
+    qb, kb, vb = to_bh(q, nq_pad), to_bh(k, nk_pad), to_bh(v, nk_pad)
+    has_bias = key_bias is not None
+    inputs = [qb, kb, vb]
+    in_specs = [
+        pl.BlockSpec((1, bq, D), lambda b, iq, ik: (b, iq, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, D), lambda b, iq, ik: (b, ik, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, D), lambda b, iq, ik: (b, ik, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        inputs.append(
+            jnp.pad(key_bias.astype(jnp.float32), ((0, 0), (0, nk_pad - Nk)))
+        )
+        in_specs.append(
+            pl.BlockSpec((1, bk), lambda b, iq, ik: (b // H, ik),
+                         memory_space=pltpu.VMEM)
+        )
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, bk=bk, n_keys=N, scale=scale),
-        grid=(B * H, n_pad // bq, n_pad // bk),
-        in_specs=[
-            pl.BlockSpec((1, bq, D), lambda b, iq, ik: (b, iq, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D), lambda b, iq, ik: (b, ik, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D), lambda b, iq, ik: (b, ik, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        functools.partial(
+            _flash_kernel, bk=bk, n_keys=Nk, scale=scale, has_bias=has_bias
+        ),
+        grid=(B * H, nq_pad // bq, nk_pad // bk),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, D), lambda b, iq, ik: (b, iq, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, n_pad, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B * H, nq_pad, D), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),   # running max
             pltpu.VMEM((bq, 1), jnp.float32),   # running sum
@@ -146,18 +176,24 @@ def flash_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * N * N * D,
-            bytes_accessed=(3 * B * H * N * D + B * H * N * D) * q.dtype.itemsize,
-            transcendentals=B * H * N * N,
+            flops=4 * B * H * Nq * Nk * D,
+            bytes_accessed=(
+                B * H * (2 * Nq + 2 * Nk) * D
+            ) * q.dtype.itemsize,
+            transcendentals=B * H * Nq * Nk,
         ),
-    )(qb, kb, vb)
+    )(*inputs)
 
-    out = out[:, :N].reshape(B, H, N, D)
+    out = out[:, :Nq].reshape(B, H, Nq, D)
     return jnp.swapaxes(out, 1, 2)
 
 
 def sdpa_chunked(
-    q: jax.Array, k: jax.Array, v: jax.Array, block_q: int = 1024
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_bias: Optional[jax.Array] = None,
+    block_q: int = 1024,
 ) -> jax.Array:
     """Blockwise-XLA attention: same O(N) memory idea without Pallas.
 
@@ -172,8 +208,10 @@ def sdpa_chunked(
     qp = qp.reshape(B, n_blocks, block_q, H, D)
 
     def one_block(qb):  # (B, BQ, H, D)
-        s = jnp.einsum("bqhd,bkhd->bhqk", qb, k) * scale
-        p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qb, k).astype(jnp.float32) * scale
+        if key_bias is not None:
+            s = s + key_bias[:, None, None, :]
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
         return jnp.einsum("bhqk,bkhd->bqhd", p, v)
 
     out = jax.lax.map(one_block, jnp.swapaxes(qp, 0, 1))   # (nb, B, BQ, H, D)
@@ -190,21 +228,32 @@ def _running_on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_bias: Optional[jax.Array] = None,
+) -> jax.Array:
     """Default fused attention.
 
     Dispatch measured on v5e (8 views @ 518px): XLA's fused softmax wins at
     short sequences (the per-frame 1369-token blocks), the Pallas kernel
     wins — and is the only O(N)-memory option — at the long global-attention
-    sequences; CPU always takes the blockwise-XLA path.
+    sequences; CPU always takes the blockwise-XLA path.  ``key_bias``
+    (B, Nk) is the merged-KV proportional-attention term.
     """
-    N = q.shape[1]
+    N = max(q.shape[1], k.shape[1])
     if _running_on_tpu() and N >= 4096:
-        return flash_attention(q, k, v)
+        return flash_attention(q, k, v, key_bias)
     if N <= 4096:
-        # full softmax materializes (H, N, N) <= ~1GB here; XLA fuses it well
+        # full softmax materializes (H, N, N) <= ~1GB here; XLA fuses it
+        # well.  NB: keep the logits in the input dtype when there is no
+        # bias — forcing an early fp32 cast doubles the materialized
+        # intermediate and measurably slows the frame-attention blocks.
         scale = q.shape[-1] ** -0.5
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        if key_bias is not None:
+            logits = logits.astype(jnp.float32) + key_bias[:, None, None, :]
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v)
-    return sdpa_chunked(q, k, v)
+    return sdpa_chunked(q, k, v, key_bias)
