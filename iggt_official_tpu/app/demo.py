@@ -95,13 +95,14 @@ class IGGTProcessor:
         self.model = IGGT(self.cfg)
         self.evaluator = SceneEvaluator()
         self.params = self._load_model(model_path)
-        attn = attention if self.runtime.use_flash_attention else None
-        if attn is None:
-            self._forward = jax.jit(lambda p, x: self.model.apply(p, x))
-        else:
-            self._forward = jax.jit(
-                lambda p, x: self.model.apply(p, x, attn_fn=attn)
-            )
+        kwargs = {}
+        if self.runtime.use_flash_attention:
+            kwargs["attn_fn"] = attention
+        if self.runtime.global_merge_r:
+            kwargs["global_merge_r"] = self.runtime.global_merge_r
+        self._forward = jax.jit(
+            lambda p, x: self.model.apply(p, x, **kwargs)
+        )
 
     # ------------------------------------------------------------------
     def _load_model(self, model_path: Optional[str]):
@@ -352,6 +353,9 @@ def main() -> None:
     parser.add_argument("--image_size", type=int, nargs=2, default=(504, 336),
                         metavar=("W", "H"))
     parser.add_argument("--conf_threshold", type=float, default=0.3)
+    parser.add_argument("--merge_tokens", type=int, default=0,
+                        help="merge this many KV tokens out of global "
+                             "attention (FastVGGT-style); 0 = exact")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -359,6 +363,7 @@ def main() -> None:
         image_size=tuple(args.image_size),
         conf_threshold=args.conf_threshold,
         clustering=CLUSTERING_PRESETS[args.preset],
+        global_merge_r=args.merge_tokens,
     )
     processor = IGGTProcessor(args.model_path, runtime=runtime)
     processor.process_scene(args.target_dir, args.save_dir)

@@ -256,5 +256,9 @@ class RuntimeConfig:
     conf_threshold: float = 0.3
     clustering: ClusteringConfig = dataclasses.field(default_factory=ClusteringConfig)
     use_flash_attention: bool = True
+    # merge this many KV tokens out of global attention (FastVGGT-style,
+    # ops/token_merge.py); 0 = exact attention.  Worth enabling at 32+
+    # views where token redundancy is high.
+    global_merge_r: int = 0
     mesh_axes: Tuple[str, ...] = ("data", "seq")
     mesh_shape: Optional[Tuple[int, ...]] = None  # None => all devices on "data"
