@@ -99,3 +99,50 @@ class SAM2Transforms:
             self.max_sprinkle_area, tuple(orig_hw),
         )
         return np.asarray(out.reshape((B, M) + tuple(orig_hw)))
+
+
+class ResizeLongestSide:
+    """SAM-v1 style aspect-preserving resize (`utils/sam_utils/transforms.py:16-99`).
+
+    Resizes so the longest side equals ``target_length`` and rescales
+    point/box prompts to match; numpy-only (the torch variants in the
+    reference duplicate the same arithmetic).
+    """
+
+    def __init__(self, target_length: int):
+        self.target_length = int(target_length)
+
+    @staticmethod
+    def get_preprocess_shape(
+        oldh: int, oldw: int, long_side_length: int
+    ) -> Tuple[int, int]:
+        scale = long_side_length / max(oldh, oldw)
+        newh, neww = oldh * scale, oldw * scale
+        return int(newh + 0.5), int(neww + 0.5)
+
+    def apply_image(self, image: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        h, w = image.shape[:2]
+        nh, nw = self.get_preprocess_shape(h, w, self.target_length)
+        return np.asarray(
+            Image.fromarray(image).resize((nw, nh), Image.BILINEAR)
+        )
+
+    def apply_coords(
+        self, coords: np.ndarray, original_size: Tuple[int, int]
+    ) -> np.ndarray:
+        oldh, oldw = original_size
+        nh, nw = self.get_preprocess_shape(oldh, oldw, self.target_length)
+        coords = np.asarray(coords, np.float64).copy()
+        coords[..., 0] *= nw / oldw
+        coords[..., 1] *= nh / oldh
+        return coords
+
+    def apply_boxes(
+        self, boxes: np.ndarray, original_size: Tuple[int, int]
+    ) -> np.ndarray:
+        boxes = self.apply_coords(
+            np.asarray(boxes).reshape(-1, 2, 2), original_size
+        )
+        return boxes.reshape(-1, 4)

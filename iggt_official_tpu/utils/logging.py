@@ -170,3 +170,30 @@ class StageTimer:
             name: self.totals[name] / max(self.counts[name], 1)
             for name in self.totals
         }
+
+
+class AverageMeter:
+    """Running (optionally exponentially decayed) average
+    (`utils/misc.py:44-64` semantics)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.sum = 0.0
+        self.count = 0.0
+        self.avg = 0.0
+
+    def update(self, val, n: int = 1, decay: float = 0.0):
+        import math
+
+        self.val = val
+        if decay:
+            alpha = math.exp(-n / decay)
+            self.sum = alpha * self.sum + (1 - alpha) * val * n
+            self.count = alpha * self.count + (1 - alpha) * n
+        else:
+            self.sum += val * n
+            self.count += n
+        self.avg = self.sum / self.count
