@@ -190,3 +190,89 @@ def test_scannetpp_copy(tmp_path):
     assert sorted(
         os.listdir(tmp_path / "processed" / scene / "obj_ids")
     ) == ["f0.png", "f1.png"]
+
+
+def test_habitat_projections_roundtrip():
+    from iggt_official_tpu.preprocess.habitat import (
+        EquirectangularProjection,
+        PerspectiveProjection,
+        RotatedProjection,
+        compute_camera_intrinsics,
+        get_projection_rays,
+    )
+
+    eq = EquirectangularProjection(100, 200)
+    u = np.array([10.5, 50.0, 150.0])
+    v = np.array([20.5, 50.0, 80.0])
+    u2, v2 = eq.project(eq.unproject(u, v))
+    np.testing.assert_allclose(u2, u, atol=1e-9)
+    np.testing.assert_allclose(v2, v, atol=1e-9)
+    # forward ray maps to image centre
+    uc, vc = eq.project(np.array([0.0, 0.0, 1.0]))
+    np.testing.assert_allclose([uc, vc], [100.0, 50.0])
+
+    f, cu, cv = compute_camera_intrinsics(48, 64, 90.0)
+    np.testing.assert_allclose(f, 32.0)
+    K = np.array([[f, 0, cu], [0, f, cv], [0, 0, 1.0]])
+    pp = PerspectiveProjection(K, 48, 64)
+    uu, vv = pp.project(pp.unproject(np.array([5.0, 40.0]), np.array([3.0, 20.0])))
+    np.testing.assert_allclose(uu, [5.0, 40.0])
+    np.testing.assert_allclose(vv, [3.0, 20.0])
+
+    # a 90deg-rotated projection sees the +X ray as forward
+    R = np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]], float)  # base<-cam
+    rot = RotatedProjection(eq, R)
+    uc, vc = rot.project(np.array([1.0, 0.0, 0.0]))
+    rays = rot.unproject(np.array(uc), np.array(vc))
+    np.testing.assert_allclose(rays, [1.0, 0.0, 0.0], atol=1e-9)
+
+    rays = get_projection_rays(pp)
+    assert rays.shape == (48, 64, 3)
+    # centre pixel ray is ~forward
+    np.testing.assert_allclose(rays[24, 32], [0.5 / f, 0.5 / f, 1.0], atol=1e-9)
+
+
+def test_habitat_crop_extraction():
+    from iggt_official_tpu.preprocess.habitat import (
+        EquirectangularProjection,
+        PerspectiveProjection,
+        RotatedProjection,
+        compute_camera_intrinsics,
+        compute_pointmap,
+        dict_to_perspective_projection,
+        extract_cropped_camera,
+        get_projection_rays,
+        perspective_projection_to_dict,
+    )
+
+    H, W = 100, 200
+    eq = EquirectangularProjection(H, W)
+    rays = get_projection_rays(eq)
+    # paint the envmap with the ray direction so crops are checkable
+    color = ((rays + 1) * 127.5).astype(np.uint8)
+    distance = np.full((H, W), 2.0, np.float32)
+
+    f, cu, cv = compute_camera_intrinsics(32, 32, 60.0)
+    K = np.array([[f, 0, cu], [0, f, cv], [0, 0, 1.0]])
+    crop = RotatedProjection(PerspectiveProjection(K, 32, 32), None)
+
+    col, depth, pts = extract_cropped_camera(
+        eq, crop, color, distance,
+        compute_pointmap(rays, distance, [0.0, 0.0, 0.0]),
+        pixel_jittering_iterations=0,
+    )
+    assert col.shape == (32, 32, 3) and depth.shape == (32, 32)
+    # centre of the crop looks at +Z: color ~ (127, 127, 255)
+    np.testing.assert_allclose(col[16, 16], [127, 127, 254], atol=6)
+    # distance 2.0 along the centre ray -> depth ~2.0 at the centre
+    assert abs(depth[16, 16] - 2.0) < 0.01
+    # nearest-neighbour pointmap sampling quantizes to the envmap pixel
+    # grid (~1.8deg at 200px width -> ~0.1 lateral at distance 2)
+    np.testing.assert_allclose(pts[16, 16], [0, 0, 2.0], atol=0.15)
+
+    # camera-params dict roundtrip
+    proj = RotatedProjection(PerspectiveProjection(K, 32, 32), np.eye(3))
+    d = perspective_projection_to_dict(proj, [1.0, 2.0, 3.0])
+    proj2, pos = dict_to_perspective_projection(d)
+    np.testing.assert_allclose(proj2.base_projection.K, K)
+    assert pos == [1.0, 2.0, 3.0]
