@@ -343,3 +343,105 @@ def test_sav_dataset(tmp_path):
         assert len(masks) == 2
         for m in masks:
             assert m.shape == (H, W) and m.dtype == bool and m.sum() == 6 * W
+
+
+def _write_sa1b_shard(path, n_rows, H=48, W=64, seed=0):
+    import base64
+    import io
+    import json
+
+    from iggt_official_tpu.data import rle
+
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for i in range(n_rows):
+            img = PIL.Image.fromarray(
+                rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+            )
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            b64 = base64.b64encode(buf.getvalue()).decode("ascii")
+            annos = []
+            for k in range(2):
+                m = np.zeros((H, W), np.uint8)
+                m[8 * k + 4 : 8 * k + 20, 10 : 40] = 1
+                ys, xs = np.nonzero(m)
+                annos.append({
+                    "segmentation": rle.encode(m > 0),
+                    "bbox": [int(xs.min()), int(ys.min()),
+                             int(xs.max() - xs.min() + 1),
+                             int(ys.max() - ys.min() + 1)],
+                    "point_coords": [[float(xs.mean()), float(ys.mean())]],
+                    "iscrowd": 0,
+                })
+            record = {"image": {"height": H, "width": W},
+                      "annotations": annos}
+            f.write(f"img_{i}\t{json.dumps(record)}\t{b64}\n")
+
+
+def test_tsv_file_roundtrip(tmp_path):
+    from iggt_official_tpu.data.tsv import TSVFile, img_from_base64
+
+    shard = tmp_path / "sa1b_0.tsv"
+    _write_sa1b_shard(shard, 5)
+    tsv = TSVFile(str(shard))
+    assert tsv.num_rows() == 5
+    assert (tmp_path / "sa1b_0.lineidx").exists()
+    # random access out of order
+    for i in [3, 0, 4, 1]:
+        row = tsv.seek(i)
+        assert row[0] == f"img_{i}"
+        assert len(row) == 3
+        img = img_from_base64(row[-1])
+        assert img.size == (64, 48)
+    # lineidx is reused on reopen
+    tsv2 = TSVFile(str(shard))
+    assert tsv2.seek(2)[0] == "img_2"
+
+
+def test_tsv_split_label(tmp_path):
+    from iggt_official_tpu.data.tsv import TSVFile, generate_lineidx
+
+    shard = tmp_path / "d_0.tsv"
+    with open(shard, "w") as f:
+        for i in range(3):
+            f.write(f"k{i}\tpayload{i}\n")
+    with open(tmp_path / "d_0.label", "w") as f:
+        for i in range(3):
+            f.write(f"k{i}\tlabel{i}\n")
+    generate_lineidx(str(tmp_path / "d_0.label"),
+                     str(tmp_path / "d_0.label.lineidx"))
+    tsv = TSVFile(str(shard))
+    assert tsv.seek(1) == ["k1", "label1", "payload1"]
+
+
+def test_sa1b_dataset(tmp_path):
+    from iggt_official_tpu.data.tsv import SA1BDataset, list_tsv_shards
+
+    _write_sa1b_shard(tmp_path / "sa1b_0.tsv", 3)
+    _write_sa1b_shard(tmp_path / "sa1b_1.tsv", 2, seed=1)
+    _write_sa1b_shard(tmp_path / "sa1b_7.tsv", 2, seed=2)
+
+    assert len(list_tsv_shards(str(tmp_path), 0, 2)) == 2
+
+    ds = SA1BDataset(str(tmp_path), image_size=64, subset=(0, 2), seed=0)
+    assert len(ds) == 5
+    item = ds[0]
+    assert item["image"].shape == (64, 64, 3)
+    assert item["sam_image"].shape == (64, 64, 3)
+    assert item["padding_mask"].shape == (64, 64)
+    n = len(item["gt_masks"])
+    assert item["gt_boxes"].shape == (n, 4)
+    assert item["point_coords"].shape == (n, 4)
+    if n:
+        # boxes tightly bound the masks
+        m0 = item["gt_masks"][0]
+        ys, xs = np.nonzero(m0)
+        assert item["gt_boxes"][0].tolist() == [
+            xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+        # padded pixels are zero
+        assert item["image"][item["padding_mask"]].sum() == 0
+    # eval mode caps rows per shard at 20
+    ds_eval = SA1BDataset(str(tmp_path), image_size=64, subset=(0, 8),
+                          is_train=False, seed=0)
+    assert len(ds_eval) == 7
