@@ -1,0 +1,145 @@
+"""Native host runtime: C++ post-processing kernels via ctypes.
+
+The reference's native layer is a CUDA connected-components kernel
+(`sam2/csrc/connected_components.cu`) plus cuml GPU clustering
+(`iggt/utils/misc.py:19-22`). Here the device side is XLA/Pallas; the
+host-side irregular post-processing (union-find CCL, density clustering,
+1-NN reassignment) is this C++ extension, compiled on first import with
+g++ and loaded through ctypes — no pybind11.
+
+Every entry point has a pure-Python fallback at its call site
+(ops/cluster.py, ops/connected_components.py); ``available()`` reports
+whether the native path is live.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "postproc.cpp")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_path = os.path.join(_DIR, f"_postproc_{digest}.so")
+    if not os.path.exists(so_path):
+        tmp = so_path + f".tmp{os.getpid()}"
+        cmd = [
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            "-fvisibility=hidden", _SRC, "-o", tmp,
+        ]
+        try:
+            subprocess.run(
+                cmd, check=True, capture_output=True, timeout=120
+            )
+            os.replace(tmp, so_path)
+        except (OSError, subprocess.SubprocessError):
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
+
+    i64 = ctypes.c_int64
+    lib.ccl2d.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), i64, i64, i64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.wdbscan.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(i64), i64, i64,
+        ctypes.c_float, i64, ctypes.POINTER(i64),
+    ]
+    lib.nn1.argtypes = [
+        ctypes.POINTER(ctypes.c_float), i64,
+        ctypes.POINTER(ctypes.c_float), i64, i64, ctypes.POINTER(i64),
+    ]
+    for fn in (lib.ccl2d, lib.wdbscan, lib.nn1):
+        fn.restype = None
+    return lib
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is None and not _tried:
+        with _lock:
+            if _lib is None and not _tried:
+                _lib = _build_and_load()
+                _tried = True
+    return _lib
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def connected_components(mask: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched 8-connectivity CCL. mask (B, H, W) bool/uint8 ->
+    (labels int32 (min-linear-index+1, bg 0), areas int32)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native postproc library unavailable")
+    mask = np.ascontiguousarray(mask, np.uint8)
+    b, h, w = mask.shape
+    labels = np.empty((b, h, w), np.int32)
+    areas = np.empty((b, h, w), np.int32)
+    lib.ccl2d(
+        _ptr(mask, ctypes.c_uint8), b, h, w,
+        _ptr(labels, ctypes.c_int32), _ptr(areas, ctypes.c_int32),
+    )
+    return labels, areas
+
+
+def weighted_dbscan(
+    points: np.ndarray,
+    weights: np.ndarray,
+    eps: float,
+    min_samples: int,
+) -> np.ndarray:
+    """Weighted DBSCAN, semantics of ops/cluster.py::weighted_dbscan."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native postproc library unavailable")
+    points = np.ascontiguousarray(points, np.float32)
+    weights = np.ascontiguousarray(weights, np.int64)
+    n, d = points.shape
+    labels = np.empty(n, np.int64)
+    lib.wdbscan(
+        _ptr(points, ctypes.c_float), _ptr(weights, ctypes.c_int64),
+        n, d, ctypes.c_float(eps), int(min_samples),
+        _ptr(labels, ctypes.c_int64),
+    )
+    return labels
+
+
+def nearest_neighbor(ref: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """Index of the nearest ``ref`` point for every ``query`` point."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native postproc library unavailable")
+    ref = np.ascontiguousarray(ref, np.float32)
+    query = np.ascontiguousarray(query, np.float32)
+    n_ref, d = ref.shape
+    n_query = query.shape[0]
+    out = np.empty(n_query, np.int64)
+    lib.nn1(
+        _ptr(ref, ctypes.c_float), n_ref,
+        _ptr(query, ctypes.c_float), n_query, d,
+        _ptr(out, ctypes.c_int64),
+    )
+    return out

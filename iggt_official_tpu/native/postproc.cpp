@@ -1,0 +1,257 @@
+// Native host-side post-processing kernels.
+//
+// The reference's single first-party native component is a CUDA
+// connected-components kernel (`sam2/csrc/connected_components.cu`), and its
+// clustering stage leans on cuml's GPU HDBSCAN (`iggt/utils/misc.py:19-22`).
+// On TPU the irregular post-processing runs host-side; these C++ kernels are
+// that host runtime: a batched two-pass union-find CCL (same label semantics
+// as the XLA kernel in ops/connected_components.py: label = min linear pixel
+// index of the component + 1, background 0, per-pixel areas) and a weighted
+// DBSCAN over quantized feature cells (KD-tree radius search + union-find),
+// matching ops/cluster.py::weighted_dbscan exactly.
+//
+// Built at import time by iggt_official_tpu/native/__init__.py (g++ -O3) and
+// loaded via ctypes — no pybind11 dependency.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Union-find with min-root attachment (root is the smallest member index, so
+// final labels are order-independent and match the XLA min-label kernel).
+// ---------------------------------------------------------------------------
+struct MinUnionFind {
+  std::vector<int64_t> parent;
+  explicit MinUnionFind(int64_t n) : parent(n) {
+    std::iota(parent.begin(), parent.end(), 0);
+  }
+  int64_t find(int64_t x) {
+    int64_t root = x;
+    while (parent[root] != root) root = parent[root];
+    while (parent[x] != root) {
+      int64_t next = parent[x];
+      parent[x] = root;
+      x = next;
+    }
+    return root;
+  }
+  void unite(int64_t a, int64_t b) {
+    int64_t ra = find(a), rb = find(b);
+    if (ra == rb) return;
+    if (ra < rb) parent[rb] = ra;
+    else parent[ra] = rb;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// KD-tree for radius / 1-NN queries in low-dim float space (d <= 16).
+// ---------------------------------------------------------------------------
+struct KDTree {
+  const float* pts;
+  int64_t n, d;
+  std::vector<int64_t> idx;     // point index per tree slot
+  std::vector<int32_t> axis;    // split axis per internal node slot
+  // The tree is stored implicitly over idx[lo, hi) ranges: node = median.
+
+  KDTree(const float* pts_, int64_t n_, int64_t d_) : pts(pts_), n(n_), d(d_) {
+    idx.resize(n);
+    axis.assign(n, 0);
+    std::iota(idx.begin(), idx.end(), 0);
+    if (n) build(0, n);
+  }
+
+  void build(int64_t lo, int64_t hi) {
+    if (hi - lo <= 1) return;
+    // split on the widest dimension of this range
+    int best_ax = 0;
+    float best_spread = -1.f;
+    for (int a = 0; a < d; ++a) {
+      float mn = 1e30f, mx = -1e30f;
+      for (int64_t i = lo; i < hi; ++i) {
+        float v = pts[idx[i] * d + a];
+        mn = std::min(mn, v);
+        mx = std::max(mx, v);
+      }
+      if (mx - mn > best_spread) { best_spread = mx - mn; best_ax = a; }
+    }
+    int64_t mid = lo + (hi - lo) / 2;
+    std::nth_element(idx.begin() + lo, idx.begin() + mid, idx.begin() + hi,
+                     [&](int64_t a, int64_t b) {
+                       return pts[a * d + best_ax] < pts[b * d + best_ax];
+                     });
+    axis[mid] = best_ax;
+    build(lo, mid);
+    build(mid + 1, hi);
+  }
+
+  float sqdist(int64_t i, const float* q) const {
+    float s = 0.f;
+    const float* p = pts + i * d;
+    for (int a = 0; a < d; ++a) {
+      float diff = p[a] - q[a];
+      s += diff * diff;
+    }
+    return s;
+  }
+
+  template <typename F>
+  void radius_visit(const float* q, float r2, float r, int64_t lo, int64_t hi,
+                    F&& visit) const {
+    if (hi <= lo) return;
+    int64_t mid = lo + (hi - lo) / 2;
+    int64_t pi = idx[mid];
+    if (sqdist(pi, q) <= r2) visit(pi);
+    if (hi - lo == 1) return;
+    int a = axis[mid];
+    float diff = q[a] - pts[pi * d + a];
+    if (diff <= r) radius_visit(q, r2, r, lo, mid, visit);
+    if (diff >= -r) radius_visit(q, r2, r, mid + 1, hi, visit);
+  }
+
+  void nearest(const float* q, int64_t lo, int64_t hi, int64_t& best,
+               float& best_d2) const {
+    if (hi <= lo) return;
+    int64_t mid = lo + (hi - lo) / 2;
+    int64_t pi = idx[mid];
+    float d2 = sqdist(pi, q);
+    if (d2 < best_d2 || (d2 == best_d2 && pi < best)) { best_d2 = d2; best = pi; }
+    if (hi - lo == 1) return;
+    int a = axis[mid];
+    float diff = q[a] - pts[pi * d + a];
+    int64_t first_lo = diff <= 0 ? lo : mid + 1;
+    int64_t first_hi = diff <= 0 ? mid : hi;
+    int64_t second_lo = diff <= 0 ? mid + 1 : lo;
+    int64_t second_hi = diff <= 0 ? hi : mid;
+    nearest(q, first_lo, first_hi, best, best_d2);
+    if (diff * diff <= best_d2) nearest(q, second_lo, second_hi, best, best_d2);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+#define EXPORT __attribute__((visibility("default")))
+
+// Batched 8-connectivity connected components over uint8 masks.
+// labels: (b, h, w) int32, min-linear-index + 1 inside mask, 0 outside.
+// areas:  (b, h, w) int32, component pixel count, 0 outside.
+EXPORT void ccl2d(const uint8_t* mask, int64_t b, int64_t h, int64_t w,
+           int32_t* labels, int32_t* areas) {
+  const int64_t hw = h * w;
+  std::vector<int32_t> count;
+  for (int64_t img = 0; img < b; ++img) {
+    const uint8_t* m = mask + img * hw;
+    int32_t* lab = labels + img * hw;
+    int32_t* area = areas + img * hw;
+    MinUnionFind uf(hw);
+    for (int64_t y = 0; y < h; ++y) {
+      for (int64_t x = 0; x < w; ++x) {
+        int64_t p = y * w + x;
+        if (!m[p]) continue;
+        // union with already-visited 8-neighbours: W, NW, N, NE
+        if (x > 0 && m[p - 1]) uf.unite(p, p - 1);
+        if (y > 0) {
+          int64_t up = p - w;
+          if (x > 0 && m[up - 1]) uf.unite(p, up - 1);
+          if (m[up]) uf.unite(p, up);
+          if (x + 1 < w && m[up + 1]) uf.unite(p, up + 1);
+        }
+      }
+    }
+    count.assign(hw, 0);
+    for (int64_t p = 0; p < hw; ++p)
+      if (m[p]) ++count[uf.find(p)];
+    for (int64_t p = 0; p < hw; ++p) {
+      if (m[p]) {
+        int64_t r = uf.find(p);
+        lab[p] = static_cast<int32_t>(r + 1);
+        area[p] = count[r];
+      } else {
+        lab[p] = 0;
+        area[p] = 0;
+      }
+    }
+  }
+}
+
+// Weighted DBSCAN over (n, d) float32 points with int64 weights.
+// Semantics identical to ops/cluster.py::weighted_dbscan:
+//  - core iff sum of weights within eps (incl. self) >= min_samples,
+//  - core points within eps union; cluster ids enumerate core-point roots
+//    in ascending point order,
+//  - non-core points take the label of their nearest core point if within
+//    eps, else -1 (noise).
+EXPORT void wdbscan(const float* pts, const int64_t* weights, int64_t n, int64_t d,
+             float eps, int64_t min_samples, int64_t* labels) {
+  if (n == 0) return;
+  KDTree tree(pts, n, d);
+  const float r2 = eps * eps;
+
+  std::vector<uint8_t> core(n, 0);
+  std::vector<std::vector<int64_t>> neigh(n);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t mass = 0;
+    auto& lst = neigh[i];
+    tree.radius_visit(pts + i * d, r2, eps, 0, n, [&](int64_t j) {
+      mass += weights[j];
+      lst.push_back(j);
+    });
+    core[i] = mass >= min_samples;
+  }
+
+  MinUnionFind uf(n);
+  for (int64_t i = 0; i < n; ++i) {
+    if (!core[i]) continue;
+    for (int64_t j : neigh[i])
+      if (core[j]) uf.unite(i, j);
+  }
+
+  std::fill(labels, labels + n, int64_t(-1));
+  std::vector<int64_t> root_label(n, -1);
+  int64_t next = 0;
+  std::vector<int64_t> core_idx;
+  for (int64_t i = 0; i < n; ++i) {
+    if (!core[i]) continue;
+    int64_t r = uf.find(i);
+    if (root_label[r] < 0) root_label[r] = next++;
+    labels[i] = root_label[r];
+    core_idx.push_back(i);
+  }
+  if (core_idx.empty()) return;
+
+  // border points -> nearest core point within eps
+  std::vector<float> core_pts(core_idx.size() * d);
+  for (size_t k = 0; k < core_idx.size(); ++k)
+    std::memcpy(&core_pts[k * d], pts + core_idx[k] * d, d * sizeof(float));
+  KDTree core_tree(core_pts.data(), static_cast<int64_t>(core_idx.size()), d);
+  for (int64_t i = 0; i < n; ++i) {
+    if (core[i]) continue;
+    int64_t best = -1;
+    float best_d2 = 1e30f;
+    core_tree.nearest(pts + i * d, 0, core_tree.n, best, best_d2);
+    if (best >= 0 && best_d2 <= r2) labels[i] = labels[core_idx[best]];
+  }
+}
+
+// 1-NN reassignment: for every query, the index of its nearest reference
+// point (used for noise -> clustered-cell reassignment and cell folding).
+EXPORT void nn1(const float* ref, int64_t n_ref, const float* query, int64_t n_query,
+         int64_t d, int64_t* out_idx) {
+  if (n_ref == 0) return;
+  KDTree tree(ref, n_ref, d);
+  for (int64_t i = 0; i < n_query; ++i) {
+    int64_t best = -1;
+    float best_d2 = 1e30f;
+    tree.nearest(query + i * d, 0, n_ref, best, best_d2);
+    out_idx[i] = best;
+  }
+}
+
+}  // extern "C"

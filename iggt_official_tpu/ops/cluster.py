@@ -44,6 +44,19 @@ def _quantize_cells(flat: np.ndarray, cell: float):
     return centers, counts.astype(np.int64), pix2cell
 
 
+def _nn1(ref: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """Index of nearest ``ref`` point per query (native KD-tree when built)."""
+    from iggt_official_tpu import native
+
+    if native.available():
+        return native.nearest_neighbor(ref, query)
+    from sklearn.neighbors import NearestNeighbors
+
+    nn = NearestNeighbors(n_neighbors=1).fit(ref)
+    _, j = nn.kneighbors(query)
+    return j[:, 0]
+
+
 class _UnionFind:
     def __init__(self, n: int):
         self.parent = np.arange(n)
@@ -74,7 +87,15 @@ def weighted_dbscan(
     >= min_samples; core points within eps merge (union-find); non-core
     points join the cluster of their closest core neighbour within eps.
     Returns labels (K,), -1 = noise.
+
+    Dispatches to the C++ KD-tree kernel (native/postproc.cpp) when the
+    extension built; this numpy/sklearn path is the fallback and the
+    parity reference.
     """
+    from iggt_official_tpu import native
+
+    if native.available():
+        return native.weighted_dbscan(points, weights, eps, min_samples)
     from sklearn.neighbors import NearestNeighbors
 
     K = points.shape[0]
@@ -127,12 +148,8 @@ def cluster_features_to_masks_mv(
     # folding the rest onto their nearest kept cell
     max_cells = 200_000
     if centers.shape[0] > max_cells:
-        from sklearn.neighbors import NearestNeighbors
-
         keep = np.argsort(counts)[::-1][:max_cells]
-        nn = NearestNeighbors(n_neighbors=1).fit(centers[keep])
-        _, fold = nn.kneighbors(centers)
-        old2new = fold[:, 0]
+        old2new = _nn1(centers[keep], centers)
         new_counts = np.zeros(max_cells, np.int64)
         np.add.at(new_counts, old2new, counts)
         pix2cell = old2new[pix2cell]
@@ -159,11 +176,9 @@ def cluster_features_to_masks_mv(
     if noise.all():
         cell_labels[:] = 0
     elif noise.any():
-        from sklearn.neighbors import NearestNeighbors
-
-        nn = NearestNeighbors(n_neighbors=1).fit(centers[~noise])
-        _, j = nn.kneighbors(centers[noise])
-        cell_labels[noise] = cell_labels[~noise][j[:, 0]]
+        cell_labels[noise] = cell_labels[~noise][
+            _nn1(centers[~noise], centers[noise])
+        ]
 
     masks = cell_labels[pix2cell].reshape(n, h, w)
     if not apply_colormap:

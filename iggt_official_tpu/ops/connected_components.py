@@ -133,3 +133,22 @@ def mask_to_box(masks: jax.Array) -> jax.Array:
     max_y = jnp.max(jnp.where(m, gy, -1), axis=(1, 2))
     box = jnp.stack([min_x, min_y, max_x, max_y], axis=-1)
     return box.reshape(tuple(lead) + (4,))
+
+
+def connected_components_host(mask) -> Tuple:
+    """Host-side batched CCL over numpy masks.
+
+    Uses the C++ union-find kernel (native/postproc.cpp) when built —
+    the direct counterpart of the reference's CUDA kernel for host-resident
+    masks — and falls back to the XLA kernel otherwise. Same label
+    semantics either way (min linear index + 1, background 0).
+    """
+    import numpy as np
+
+    from iggt_official_tpu import native
+
+    m = np.asarray(mask).astype(bool)
+    if native.available():
+        return native.connected_components(m)
+    labels, areas = connected_components(jnp.asarray(m))
+    return np.asarray(labels), np.asarray(areas)

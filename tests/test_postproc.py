@@ -134,3 +134,100 @@ def test_min_cluster_size_filters_small_clusters():
     )
     # the 4-pixel cluster is below min_cluster_size -> absorbed via 1-NN
     assert len(np.unique(masks)) == 1
+
+
+# ---------------------------------------------------------------------------
+# native C++ kernels (built via ctypes; skip when the toolchain is absent)
+# ---------------------------------------------------------------------------
+
+
+def _native():
+    from iggt_official_tpu import native
+
+    if not native.available():
+        pytest.skip("native postproc extension unavailable")
+    return native
+
+
+def test_native_ccl_matches_xla_kernel():
+    import jax.numpy as jnp
+
+    from iggt_official_tpu.ops.connected_components import (
+        connected_components,
+        connected_components_host,
+    )
+
+    native = _native()
+    rng = np.random.default_rng(11)
+    mask = rng.random((3, 37, 53)) < 0.45
+    mask[0, :, :] = False           # empty image
+    mask[1, 5:9, 5:9] = True        # solid block
+
+    labels_n, areas_n = native.connected_components(mask)
+    labels_x, areas_x = connected_components(jnp.asarray(mask))
+    np.testing.assert_array_equal(labels_n, np.asarray(labels_x))
+    np.testing.assert_array_equal(areas_n, np.asarray(areas_x))
+
+    labels_h, areas_h = connected_components_host(mask)
+    np.testing.assert_array_equal(labels_h, labels_n)
+    np.testing.assert_array_equal(areas_h, areas_n)
+
+
+def test_native_ccl_matches_scipy():
+    from scipy import ndimage
+
+    native = _native()
+    rng = np.random.default_rng(3)
+    mask = rng.random((2, 40, 40)) < 0.4
+    labels, areas = native.connected_components(mask)
+    structure = np.ones((3, 3), int)
+    for b in range(len(mask)):
+        ref, n_ref = ndimage.label(mask[b], structure=structure)
+        # same partition: bijection between our labels and scipy's
+        ours = labels[b][mask[b]]
+        theirs = ref[mask[b]]
+        pairs = {(int(a), int(c)) for a, c in zip(ours, theirs)}
+        assert len(pairs) == n_ref == len(np.unique(ours))
+        # areas agree
+        for lbl in np.unique(theirs):
+            sel = theirs == lbl
+            assert np.all(areas[b][mask[b]][sel] == sel.sum())
+
+
+def test_native_wdbscan_matches_python():
+    from iggt_official_tpu.ops import cluster
+
+    native = _native()
+    rng = np.random.default_rng(7)
+    # three gaussian blobs + scattered noise, uneven weights
+    pts = np.concatenate([
+        rng.normal([0, 0, 0], 0.02, (60, 3)),
+        rng.normal([1, 1, 0], 0.02, (50, 3)),
+        rng.normal([0, 1, 1], 0.02, (40, 3)),
+        rng.uniform(-2, 3, (30, 3)),
+    ]).astype(np.float32)
+    w = rng.integers(1, 40, len(pts)).astype(np.int64)
+
+    got = native.weighted_dbscan(pts, w, eps=0.1, min_samples=50)
+
+    # force the sklearn fallback path for the reference labels
+    orig = cluster.weighted_dbscan.__wrapped__ if hasattr(
+        cluster.weighted_dbscan, "__wrapped__") else None
+    import iggt_official_tpu.native as nat
+    avail, nat.available = nat.available, lambda: False
+    try:
+        want = cluster.weighted_dbscan(pts, w, eps=0.1, min_samples=50)
+    finally:
+        nat.available = avail
+    np.testing.assert_array_equal(got, want)
+
+
+def test_native_nn1_matches_bruteforce():
+    native = _native()
+    rng = np.random.default_rng(5)
+    ref = rng.normal(0, 1, (200, 8)).astype(np.float32)
+    query = rng.normal(0, 1, (77, 8)).astype(np.float32)
+    got = native.nearest_neighbor(ref, query)
+    d2 = ((query[:, None] - ref[None]) ** 2).sum(-1)
+    want = d2.argmin(1)
+    np.testing.assert_array_equal(got, want)

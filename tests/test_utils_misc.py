@@ -226,3 +226,63 @@ def test_colmap_scene_conversion(tmp_path):
                  seed=1)
     views = ds[(0, 0, 2)]
     assert len(views) == 2 and views[0]["img"].shape == (42, 56, 3)
+
+
+def test_py_config_fromfile_with_base(tmp_path):
+    from iggt_official_tpu.utils.config_io import Config
+
+    (tmp_path / "base.py").write_text(
+        "lr = 1e-4\nmodel = dict(depth=24, embed_dim=1024)\nepochs = 10\n"
+    )
+    (tmp_path / "child.py").write_text(
+        "_base_ = ['base.py']\nmodel = dict(depth=12)\nwandb = False\n"
+    )
+    cfg = Config.fromfile(str(tmp_path / "child.py"))
+    assert cfg.lr == 1e-4
+    assert cfg.model.depth == 12           # child overrides
+    assert cfg.model.embed_dim == 1024     # base survives deep-merge
+    assert cfg.epochs == 10 and cfg.wandb is False
+
+
+def test_parse_configs_cli_override(tmp_path):
+    from iggt_official_tpu.utils.config_io import parse_configs, str2bool
+
+    (tmp_path / "c.py").write_text("seed = 1\nnum_train_epochs = 5\n")
+    cfg = parse_configs(["--config", str(tmp_path / "c.py"), "--seed", "7"])
+    assert cfg.seed == 7                   # CLI wins when not None
+    assert cfg.num_train_epochs == 5       # None flags don't override
+    assert str2bool("yes") and not str2bool("0")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        str2bool("maybe")
+
+
+def test_cfgnode_yaml_base_and_merge(tmp_path):
+    from iggt_official_tpu.utils.config_io import CfgNode
+
+    (tmp_path / "base.yaml").write_text(
+        "MODEL:\n  DEPTH: 24\n  DIM: 1024\nSOLVER:\n  LR: 0.001\n"
+    )
+    (tmp_path / "exp.yaml").write_text(
+        "_BASE_: base.yaml\nMODEL:\n  DEPTH: 12\n"
+    )
+    cfg = CfgNode.load_yaml_with_base(str(tmp_path / "exp.yaml"))
+    assert cfg.MODEL.DEPTH == 12 and cfg.MODEL.DIM == 1024
+    assert cfg.SOLVER.LR == 0.001
+
+    cfg.merge_from_list(["SOLVER.LR", "0.01", "MODEL.HEADS", "16"])
+    assert cfg.SOLVER.LR == 0.01 and cfg.MODEL.HEADS == 16
+
+    other = CfgNode({"MODEL": {"DIM": 512}, "NEW": 1})
+    cfg.merge_from_other_cfg(other)
+    assert cfg.MODEL.DIM == 512 and cfg.MODEL.DEPTH == 12 and cfg.NEW == 1
+
+    c2 = cfg.clone()
+    cfg.freeze()
+    assert cfg.is_frozen()
+    import pytest as _pytest
+    with _pytest.raises(AttributeError):
+        cfg.MODEL.DEPTH = 1
+    cfg.defrost()
+    cfg.MODEL.DEPTH = 1
+    assert c2.MODEL.DEPTH == 12            # clone is independent
