@@ -161,6 +161,11 @@ class CrossAttention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     dtype: Dtype = jnp.float32
+    # fused-attention implementation; the default dispatcher picks the Pallas
+    # flash kernel on TPU at long sequences (the Part head's level-2x
+    # injection attends over 74x74 maps, where materializing the fp32 logits
+    # costs gigabytes of HBM traffic) and exact XLA softmax elsewhere
+    attn_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(
@@ -174,7 +179,11 @@ class CrossAttention(nn.Module):
                      name="projk")(key).reshape(B, -1, self.num_heads, hd)
         v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
                      name="projv")(value).reshape(B, -1, self.num_heads, hd)
-        out = sdpa_xla(q, k, v).reshape(B, Nq, C)
+        if self.attn_fn is None:
+            from iggt_official_tpu.ops.flash_attention import attention as attn_fn
+        else:
+            attn_fn = self.attn_fn
+        out = attn_fn(q, k, v).reshape(B, Nq, C)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
