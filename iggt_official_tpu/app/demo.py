@@ -151,7 +151,7 @@ class IGGTProcessor:
             results["evaluation"] = report
 
         self._save_predictions(preds, save_dir)
-        self._export_glbs(preds, save_dir)
+        self._export_glbs(preds, save_dir, target_dir=target_dir)
         logger.info("Total processing time: %.2f seconds", time.time() - t0)
         return results
 
@@ -323,10 +323,22 @@ class IGGTProcessor:
             )
 
     # ------------------------------------------------------------------
-    def _export_glbs(self, preds: Dict[str, np.ndarray], save_dir: str):
+    def _export_glbs(
+        self,
+        preds: Dict[str, np.ndarray],
+        save_dir: str,
+        target_dir: Optional[str] = None,
+    ):
         """rgb | mask | pca GLB exports (`demo.py:618-657`)."""
         pts = preds["world_points"]
         conf = preds.get("world_points_conf")
+        if self.runtime.mask_sky and target_dir is not None and conf is not None:
+            # sky pixels' confidence -> 0 so percentile filtering drops them
+            # (`visual_util.py:112-159`)
+            from iggt_official_tpu.utils.sky import load_or_compute_sky_masks
+
+            keep = load_or_compute_sky_masks(target_dir, conf.shape[-2:])
+            conf = conf * keep
         modes = {"rgb": preds["images"]}
         if "instance_masks_colored" in preds:
             modes["mask"] = preds["instance_masks_colored"].astype(np.float32) / 255
@@ -356,6 +368,10 @@ def main() -> None:
     parser.add_argument("--merge_tokens", type=int, default=0,
                         help="merge this many KV tokens out of global "
                              "attention (FastVGGT-style); 0 = exact")
+    parser.add_argument("--mask_sky", action="store_true",
+                        help="drop sky pixels from the GLB point clouds "
+                             "(cached per-view masks under "
+                             "<target_dir>/sky_masks)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -364,6 +380,7 @@ def main() -> None:
         conf_threshold=args.conf_threshold,
         clustering=CLUSTERING_PRESETS[args.preset],
         global_merge_r=args.merge_tokens,
+        mask_sky=args.mask_sky,
     )
     processor = IGGTProcessor(args.model_path, runtime=runtime)
     processor.process_scene(args.target_dir, args.save_dir)

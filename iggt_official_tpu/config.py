@@ -260,5 +260,8 @@ class RuntimeConfig:
     # ops/token_merge.py); 0 = exact attention.  Worth enabling at 32+
     # views where token redundancy is high.
     global_merge_r: int = 0
+    # zero out sky pixels' confidence before GLB export via per-view sky
+    # keep-masks (`visual_util.py:112-159`; iggt_official_tpu/utils/sky.py)
+    mask_sky: bool = False
     mesh_axes: Tuple[str, ...] = ("data", "seq")
     mesh_shape: Optional[Tuple[int, ...]] = None  # None => all devices on "data"

@@ -125,3 +125,52 @@ def load_trajectory_tum_format(path: str) -> Tuple[np.ndarray, np.ndarray]:
     poses[:, :3, :3] = R
     poses[:, :3, 3] = t
     return poses, ts
+
+
+def plot_trajectory(
+    pred_se3: np.ndarray,
+    gt_se3: Optional[np.ndarray] = None,
+    title: str = "",
+    filename: str = "traj",
+    align: bool = True,
+    correct_scale: bool = True,
+) -> str:
+    """Save a 2D trajectory comparison plot (`vo_eval.py:255-284`).
+
+    The plot plane follows evo's best_plotmode (`vo_eval.py:250-253`): the
+    two highest-variance position axes of the GT (or prediction) are drawn;
+    the prediction is optionally Sim(3)/SE(3)-aligned to GT first.  Returns
+    the written path `{filename}_traj_error.png`.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    pred_xyz = np.asarray(pred_se3)[:, :3, 3]
+    gt_xyz = np.asarray(gt_se3)[:, :3, 3] if gt_se3 is not None else None
+
+    if gt_xyz is not None and align:
+        s, R, t = umeyama_alignment(pred_xyz, gt_xyz, with_scale=correct_scale)
+        pred_xyz = s * pred_xyz @ R.T + t
+
+    basis = gt_xyz if gt_xyz is not None else pred_xyz
+    _, i1, i2 = np.argsort(np.var(basis, axis=0))
+    ax_x, ax_y = int(i2), int(i1)
+    names = "xyz"
+
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.set_title(title)
+    if gt_xyz is not None:
+        ax.plot(gt_xyz[:, ax_x], gt_xyz[:, ax_y], "--", color="gray",
+                label="Ground Truth")
+    ax.plot(pred_xyz[:, ax_x], pred_xyz[:, ax_y], "-", color="blue",
+            label="Predicted")
+    ax.set_xlabel(f"{names[ax_x]} (m)")
+    ax.set_ylabel(f"{names[ax_y]} (m)")
+    ax.legend()
+    ax.set_aspect("equal", adjustable="datalim")
+    out = f"{filename}_traj_error.png"
+    fig.savefig(out, dpi=90, bbox_inches="tight")
+    plt.close(fig)
+    return out

@@ -5,6 +5,7 @@ import struct
 
 import numpy as np
 import pytest
+import PIL.Image
 from PIL import Image
 
 from iggt_official_tpu.config import ClusteringConfig, ModelConfig, RuntimeConfig
@@ -127,3 +128,34 @@ def test_processor_end_to_end_tiny(tmp_path):
     assert np.isfinite(
         results["evaluation"]["summary"]["depth"]["absrel"]
     )
+
+
+def test_sky_mask_heuristic_and_cache(tmp_path):
+    from iggt_official_tpu.utils.sky import (
+        load_or_compute_sky_masks,
+        segment_sky_heuristic,
+    )
+
+    H, W = 48, 64
+    img = np.zeros((H, W, 3), np.uint8)
+    img[: H // 2] = [140, 180, 245]          # smooth bright blue sky on top
+    rng = np.random.default_rng(0)
+    img[H // 2 :] = rng.integers(20, 120, (H - H // 2, W, 3))  # textured ground
+
+    keep = segment_sky_heuristic(img)
+    assert keep.shape == (H, W) and keep.dtype == np.uint8
+    assert (keep[: H // 4] == 0).mean() > 0.9        # sky dropped
+    assert (keep[3 * H // 4 :] == 255).mean() > 0.9  # ground kept
+
+    scene = tmp_path / "scene"
+    os.makedirs(scene / "images")
+    for i in range(2):
+        PIL.Image.fromarray(img).save(scene / "images" / f"{i:03d}.png")
+    masks = load_or_compute_sky_masks(str(scene), (24, 32))
+    assert masks.shape == (2, 24, 32)
+    assert set(np.unique(masks)) <= {0.0, 1.0}
+    assert masks[:, :4].mean() < 0.1 and masks[:, -4:].mean() > 0.9
+    # cached files are reused on the second call
+    assert sorted(os.listdir(scene / "sky_masks")) == ["000.png", "001.png"]
+    masks2 = load_or_compute_sky_masks(str(scene), (24, 32))
+    np.testing.assert_array_equal(masks, masks2)

@@ -1,6 +1,7 @@
 """Evaluation metrics: depth, pose, instance matching, scene orchestration."""
 
 import json
+import os
 
 import numpy as np
 
@@ -111,3 +112,21 @@ def test_scene_evaluator_report(tmp_path):
     ev.save_evaluation_report(results, str(out))
     loaded = json.loads(out.read_text())
     assert "summary" in loaded
+
+
+def test_plot_trajectory_writes_png(tmp_path):
+    from iggt_official_tpu.eval.trajectory import plot_trajectory
+
+    n = 20
+    t = np.linspace(0, 2 * np.pi, n)
+    gt = np.tile(np.eye(4), (n, 1, 1))
+    gt[:, 0, 3] = np.cos(t)
+    gt[:, 1, 3] = np.sin(t)
+    pred = gt.copy()
+    pred[:, :3, 3] *= 1.7  # scale offset -> exercised Sim(3) alignment
+    out = plot_trajectory(pred, gt, title="circle",
+                          filename=str(tmp_path / "demo"))
+    assert out.endswith("_traj_error.png") and os.path.exists(out)
+    # pred-only variant
+    out2 = plot_trajectory(pred, None, filename=str(tmp_path / "solo"))
+    assert os.path.exists(out2)
