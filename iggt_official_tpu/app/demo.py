@@ -300,20 +300,60 @@ class IGGTProcessor:
                 )
 
     def _save_depth_visualizations(self, depths: np.ndarray, save_dir: str):
-        """Percentile-normalized colormap PNGs (`demo.py:435-609`)."""
+        """Percentile-normalized colormap PNGs (`demo.py:435-609`): per-frame
+        PNG + npy in several colormaps, depth statistics, a scale-bar
+        variant of the primary colormap, a side-by-side colormap comparison
+        grid, and an animated GIF."""
         from PIL import Image
         from matplotlib import colormaps
 
         depth_dir = os.path.join(save_dir, "depth_vis")
         os.makedirs(depth_dir, exist_ok=True)
-        cmap = colormaps.get_cmap("jet")
-        lo, hi = np.percentile(depths, [2, 98])
+
+        valid = depths[depths > 0]
+        if valid.size == 0:
+            logger.warning("No valid depth values found!")
+            return
+        lo, hi = np.percentile(valid, [1, 99])
+        np.save(
+            os.path.join(depth_dir, "depth_statistics.npy"),
+            {
+                "min": float(lo), "max": float(hi),
+                "mean": float(valid.mean()), "std": float(valid.std()),
+                "percentile_1": float(lo), "percentile_99": float(hi),
+                "valid_pixel_ratio": float(valid.size / depths.size),
+            },
+        )
+
+        vis_modes = ["jet", "viridis", "plasma", "turbo"]
+        cmaps = {m: colormaps.get_cmap(m) for m in vis_modes}
         frames = []
         for i, d in enumerate(depths):
             normed = np.clip((d - lo) / max(hi - lo, 1e-12), 0, 1)
-            rgb = (cmap(normed)[..., :3] * 255).astype(np.uint8)
-            frames.append(Image.fromarray(rgb))
-            frames[-1].save(os.path.join(depth_dir, f"depth_{i:04d}.png"))
+            per_mode = {}
+            for mode in vis_modes:
+                rgb = (cmaps[mode](normed)[..., :3] * 255).astype(np.uint8)
+                per_mode[mode] = rgb
+                Image.fromarray(rgb).save(
+                    os.path.join(depth_dir, f"depth_{i:04d}_{mode}.png")
+                )
+            primary = per_mode[vis_modes[0]]
+            Image.fromarray(primary).save(
+                os.path.join(depth_dir, f"depth_{i:04d}.png")
+            )
+            frames.append(Image.fromarray(primary))
+            self._add_depth_scale_bar(
+                primary, lo, hi, cmaps[vis_modes[0]],
+                os.path.join(depth_dir, f"depth_{i:04d}_with_scale.png"),
+            )
+            if i == 0:
+                # side-by-side colormap comparison (`demo.py:526-530`)
+                grid = np.concatenate(
+                    [per_mode[m] for m in vis_modes], axis=1
+                )
+                Image.fromarray(grid).save(
+                    os.path.join(depth_dir, "colormap_comparison.png")
+                )
         np.save(os.path.join(depth_dir, "depth.npy"), depths)
         # animated GIF across views (`demo.py:435-609`)
         if len(frames) > 1:
@@ -321,6 +361,25 @@ class IGGTProcessor:
                 os.path.join(depth_dir, "depth_animation.gif"),
                 save_all=True, append_images=frames[1:], duration=200, loop=0,
             )
+
+    @staticmethod
+    def _add_depth_scale_bar(rgb, depth_min, depth_max, cmap, save_path):
+        """Append a horizontal colorbar with min/max labels
+        (`demo.py:532-575`)."""
+        from PIL import Image, ImageDraw
+
+        h, w = rgb.shape[:2]
+        bar_h = 20
+        ramp = np.linspace(0, 1, w, dtype=np.float32)
+        bar = (cmap(np.tile(ramp, (bar_h, 1)))[..., :3] * 255).astype(np.uint8)
+        canvas = np.concatenate([rgb, np.zeros((bar_h + 14, w, 3), np.uint8)])
+        canvas[h : h + bar_h] = bar
+        img = Image.fromarray(canvas)
+        draw = ImageDraw.Draw(img)
+        draw.text((2, h + bar_h + 1), f"{depth_min:.2f}m", fill=(255,) * 3)
+        label = f"{depth_max:.2f}m"
+        draw.text((w - 8 * len(label), h + bar_h + 1), label, fill=(255,) * 3)
+        img.save(save_path)
 
     # ------------------------------------------------------------------
     def _export_glbs(

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import json
 import logging
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -75,6 +75,71 @@ def m_rel_ae(gt, pred, mask=None, output_scaling_factor=1.0):
 
 # ---------------------------------------------------------------------------
 # instance-mask matching (`metrics.py:15-80`)
+
+
+def pointwise_rel_ae(gt, pred, mask=None, output_scaling_factor=1.0):
+    """Per-pixel relative absolute error |gt-pred|/gt, 0 where invalid
+    (`iggt/metrics.py:150-175` semantics: gt<=0 excluded via the mask)."""
+    gt = np.asarray(gt, np.float64)
+    pred = np.asarray(pred, np.float64)
+    valid = gt > 0
+    if mask is not None:
+        valid = valid & (np.asarray(mask) > 0)
+    rel = np.zeros_like(gt)
+    np.divide(np.abs(gt - pred), gt, out=rel, where=valid)
+    return rel * output_scaling_factor * valid
+
+
+def sparsification(
+    gt: np.ndarray,
+    pred: np.ndarray,
+    uncertainty: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+    error_fct: Callable = m_rel_ae,
+    steps: int = 100,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sparsification curve (`iggt/metrics.py:176-255`).
+
+    Pixels are removed in order of decreasing ``uncertainty``; at each of
+    ``steps`` removal fractions the remaining pixels' error (relative to
+    the full-mask error) is recorded.  Returns (x, y): x the removal
+    fractions linspace(0, 0.99, steps), y the interpolated error ratios
+    (NaN when fewer than 2 finite samples).  Vectorized: sorts once and
+    evaluates ``error_fct`` at the 1%% steps instead of per pixel.
+    """
+    gt = np.asarray(gt, np.float64)
+    pred = np.asarray(pred, np.float64)
+    m = (gt > 0).astype(np.float64)
+    if mask is not None:
+        m = m * np.asarray(mask, np.float64)
+    num_valid = int(m.astype(bool).sum())
+    x = np.linspace(0, 0.99, steps)
+    if num_valid == 0:
+        return x, np.full(steps, np.nan)
+
+    # most-uncertain first, invalid pixels pinned to the end
+    # (`metrics.py:212-215` sorts (uncertainty - min + 1) * mask ascending
+    # and walks it reversed)
+    order = np.argsort(
+        ((uncertainty - uncertainty.min() + 1) * m).reshape(-1)
+    )[::-1]
+    base_error = error_fct(gt=gt, pred=pred, mask=m)
+
+    xs, ys = [], []
+    cur = m.reshape(-1).copy()
+    removed = 0
+    for i in range(steps):
+        target = int(num_valid / steps * i)
+        while removed < target:
+            cur[order[removed]] = 0
+            removed += 1
+        err = error_fct(gt=gt, pred=pred, mask=cur.reshape(m.shape))
+        if np.isfinite(err):
+            xs.append(removed / num_valid)
+            ys.append(err / base_error)
+    if len(xs) > 1:
+        return x, np.interp(x, xs, ys)
+    return x, np.full(steps, np.nan)
 
 
 def calculate_iou(mask1: np.ndarray, mask2: np.ndarray) -> float:

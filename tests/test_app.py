@@ -159,3 +159,24 @@ def test_sky_mask_heuristic_and_cache(tmp_path):
     assert sorted(os.listdir(scene / "sky_masks")) == ["000.png", "001.png"]
     masks2 = load_or_compute_sky_masks(str(scene), (24, 32))
     np.testing.assert_array_equal(masks, masks2)
+
+
+def test_depth_visualizations_full_set(tmp_path):
+    from iggt_official_tpu.app.demo import IGGTProcessor
+
+    rng = np.random.default_rng(0)
+    depths = rng.uniform(0.5, 4.0, (2, 24, 32)).astype(np.float32)
+    IGGTProcessor._save_depth_visualizations(
+        IGGTProcessor.__new__(IGGTProcessor), depths, str(tmp_path)
+    )
+    d = tmp_path / "depth_vis"
+    for mode in ["jet", "viridis", "plasma", "turbo"]:
+        assert (d / f"depth_0000_{mode}.png").exists()
+    assert (d / "depth_0000_with_scale.png").exists()
+    assert (d / "colormap_comparison.png").exists()
+    assert (d / "depth_statistics.npy").exists()
+    assert (d / "depth_animation.gif").exists()
+    stats = np.load(d / "depth_statistics.npy", allow_pickle=True).item()
+    assert 0 < stats["min"] < stats["max"]
+    grid = np.asarray(PIL.Image.open(d / "colormap_comparison.png"))
+    assert grid.shape == (24, 32 * 4, 3)

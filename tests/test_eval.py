@@ -130,3 +130,31 @@ def test_plot_trajectory_writes_png(tmp_path):
     # pred-only variant
     out2 = plot_trajectory(pred, None, filename=str(tmp_path / "solo"))
     assert os.path.exists(out2)
+
+
+def test_sparsification_oracle_decreases():
+    from iggt_official_tpu.eval.metrics import m_rel_ae, sparsification
+
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(1, 5, (40, 50))
+    noise = rng.normal(0, 0.3, gt.shape)
+    pred = gt + noise
+    # oracle uncertainty = true error -> curve must be monotonically
+    # non-increasing (removing most-erroneous pixels first)
+    x, y = sparsification(gt, pred, np.abs(noise), error_fct=m_rel_ae)
+    assert x.shape == y.shape == (100,)
+    assert y[0] == 1.0 or np.isclose(y[0], 1.0, atol=1e-6)
+    assert (np.diff(y) <= 1e-9).all()
+    assert y[-1] < 0.5
+    # random uncertainty -> roughly flat curve around 1
+    x2, y2 = sparsification(gt, pred, rng.uniform(0, 1, gt.shape))
+    assert abs(np.nanmean(y2) - 1.0) < 0.15
+
+
+def test_pointwise_rel_ae():
+    from iggt_official_tpu.eval.metrics import pointwise_rel_ae
+
+    gt = np.array([[2.0, 0.0], [4.0, 1.0]])
+    pred = np.array([[1.0, 5.0], [5.0, 1.0]])
+    rel = pointwise_rel_ae(gt, pred)
+    np.testing.assert_allclose(rel, [[0.5, 0.0], [0.25, 0.0]])
