@@ -23,9 +23,41 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from iggt_official_tpu.layers.rope import Rope2DTables, apply_rope_2d
+from iggt_official_tpu.layers.rope import (
+    Rope2DTables,
+    apply_rope_2d,
+    pack_rope_tables,
+)
 
 Dtype = jnp.dtype
+
+
+class HeadLayerNorm(nn.Module):
+    """fp32 LayerNorm over head_dim with nn.LayerNorm-compatible params.
+
+    Calling with ``None`` returns the (scale, bias) params so the fused
+    attention kernel can apply the identical normalization in-kernel
+    (`ops/flash_attention.py:_ln_rope_block`); calling with an array applies
+    the same fast-variance fp32 LN the XLA path uses.
+    """
+
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Optional[jax.Array]):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                          jnp.float32)
+        if x is None:
+            return scale, bias
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0
+        )
+        return (xf - mu) * jax.lax.rsqrt(var + self.eps) * scale + bias
 
 
 def gelu_exact(x: jax.Array) -> jax.Array:
@@ -132,18 +164,37 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
+        q_ln = k_ln = None
         if self.qk_norm:
             # LayerNorm over head_dim, affine, fp32 (torch autocast behaviour)
-            q_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="q_norm")
-            k_norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="k_norm")
-            q = q_norm(q).astype(self.dtype)
-            k = k_norm(k).astype(self.dtype)
+            q_ln = HeadLayerNorm(head_dim, name="q_norm")
+            k_ln = HeadLayerNorm(head_dim, name="k_norm")
 
-        if rope is not None:
-            q = apply_rope_2d(q, rope)
-            k = apply_rope_2d(k, rope)
-
-        out = self.attn_fn(q, k, v)
+        if getattr(self.attn_fn, "supports_fused_qk_prep", False) and (
+            rope is not None or self.qk_norm
+        ):
+            # hand raw q/k to the kernel: the fp32 LN + rotation run on the
+            # VMEM-resident blocks, skipping the XLA pre-pass HBM round trip
+            norm_params = None
+            if self.qk_norm:
+                gq, bq = q_ln(None)
+                gk, bk = k_ln(None)
+                norm_params = (gq, bq, gk, bk)
+            cos = sin = None
+            if rope is not None:
+                cos, sin = pack_rope_tables(rope)
+            out = self.attn_fn(
+                q, k, v, rope_cos=cos, rope_sin=sin,
+                qk_norm_params=norm_params,
+            )
+        else:
+            if self.qk_norm:
+                q = q_ln(q).astype(self.dtype)
+                k = k_ln(k).astype(self.dtype)
+            if rope is not None:
+                q = apply_rope_2d(q, rope)
+                k = apply_rope_2d(k, rope)
+            out = self.attn_fn(q, k, v)
         out = out.reshape(B, N, C)
         return nn.Dense(self.dim, use_bias=self.proj_bias, dtype=self.dtype,
                         name="proj")(out)

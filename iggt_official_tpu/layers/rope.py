@@ -74,6 +74,24 @@ def compute_rope_2d(
     )
 
 
+def pack_rope_tables(tables: Rope2DTables) -> tuple[jax.Array, jax.Array]:
+    """Pack the 4 per-direction tables into full-head-dim (..., N, D) cos/sin.
+
+    Layout matches `apply_rope_2d`: features [0:D/2) rotate by y with the
+    rotate-half duplication [cos_y, cos_y], features [D/2:D) by x.  Used by
+    the fused attention kernel (`ops/flash_attention.py:attention_fused`),
+    which applies `x * cos + (x @ R) * sin` with the rotate-half +/-1
+    matrix R — all blocks share one packed table per forward (XLA CSE).
+    """
+    cos = jnp.concatenate(
+        [tables.cos_y, tables.cos_y, tables.cos_x, tables.cos_x], axis=-1
+    )
+    sin = jnp.concatenate(
+        [tables.sin_y, tables.sin_y, tables.sin_x, tables.sin_x], axis=-1
+    )
+    return cos, sin
+
+
 def _rotate_half(x: jax.Array) -> jax.Array:
     """(-x2, x1) pairing over the last dim halves (`rope.py:122-135`)."""
     half = x.shape[-1] // 2

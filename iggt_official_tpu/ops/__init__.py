@@ -8,6 +8,18 @@
 - `conv` / `interpolate`: torch-parity NHWC convs and resizes.
 """
 
-from iggt_official_tpu.ops.flash_attention import attention, flash_attention, sdpa_chunked
+from iggt_official_tpu.ops.flash_attention import (
+    attention,
+    attention_fused,
+    flash_attention,
+    flash_attention_fused,
+    sdpa_chunked,
+)
 
-__all__ = ["attention", "flash_attention", "sdpa_chunked"]
+__all__ = [
+    "attention",
+    "attention_fused",
+    "flash_attention",
+    "flash_attention_fused",
+    "sdpa_chunked",
+]

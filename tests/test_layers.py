@@ -206,3 +206,44 @@ def test_conv_transpose2d_parity():
         out_jax = ConvTranspose2d(7, k, s, p).apply({"params": params}, jnp.asarray(x))
         assert out_ref.shape == out_jax.shape
         np.testing.assert_allclose(out_ref, np.asarray(out_jax), atol=1e-5)
+
+
+def test_fused_qk_prep_attention_interpret():
+    """Pallas fused LN+RoPE kernel == XLA prep + attention (interpret mode)."""
+    from iggt_official_tpu.layers.rope import (
+        compute_rope_2d, make_patch_positions, pack_rope_tables,
+    )
+    from iggt_official_tpu.ops.flash_attention import (
+        _qk_prep_xla, attention, flash_attention_fused,
+    )
+
+    B, N, H, D = 2, 30, 2, 64
+    pos = make_patch_positions(5, 5, B, 5)  # 5 special + 25 patches
+    tables = compute_rope_2d(pos, D)
+    cos, sin = pack_rope_tables(tables)
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, N, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, N, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, N, H, D)).astype(np.float32))
+    gq = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+    bq = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+    gk = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+    bk = jnp.asarray(rng.standard_normal(D).astype(np.float32))
+
+    ref = attention(
+        _qk_prep_xla(q, gq, bq, cos, sin, 1e-5),
+        _qk_prep_xla(k, gk, bk, cos, sin, 1e-5),
+        v,
+    )
+    for norm, rope in [(True, True), (False, True), (True, False)]:
+        out = flash_attention_fused(
+            q, k, v,
+            cos if rope else None, sin if rope else None,
+            (gq, bq, gk, bk) if norm else None,
+            interpret=True,
+        )
+        if norm and rope:
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                       atol=2e-5, rtol=1e-4)
+        assert out.shape == q.shape and not np.isnan(np.asarray(out)).any()
