@@ -96,9 +96,12 @@ class DPTConfig:
     use_point_feat: bool = False
     down_ratio: int = 1
     for_tracker: bool = False
-    # reference default is 12 (40GB A100, `dpt_head.py:135`); 4 keeps the
-    # fp32 full-res decode of an 8-view 518px scene inside 16GB v5e HBM
-    frames_chunk_size: int = 4
+    # reference default is 12 (40GB A100, `dpt_head.py:135`).  This is an
+    # *upper bound*: models/vggt.py scans the largest divisor of S within
+    # it.  8 lets an 8-view 518px scene decode in one pass on 16GB v5e
+    # (+3.5% end-to-end over chunks of 4) while still bounding longer
+    # sequences.
+    frames_chunk_size: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,8 +135,8 @@ class PartHeadConfig:
     window_size: int = 8
     ca_num_heads: int = 8  # MemEffCrossAttention at fusion levels 4 and 3
     swin_num_heads: int = 4
-    # serialize the part path over view chunks (see models/vggt.py)
-    frames_chunk_size: int = 4
+    # upper bound on the part-path view chunk (see models/vggt.py)
+    frames_chunk_size: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

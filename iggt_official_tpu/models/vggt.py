@@ -88,11 +88,20 @@ def _scan_chunks(head, args, nc):
 
 
 def _view_chunking(S, chunk_size):
-    """(nc, cs) if chunking applies, else None."""
-    cs = chunk_size
-    if cs and S > cs and S % cs == 0:
-        return S // cs, cs
-    return None
+    """(nc, cs) if chunking applies, else None.
+
+    ``chunk_size`` is an upper bound: the largest divisor of S within it is
+    used, so non-divisible view counts still get a bounded-memory decode
+    (e.g. S=6 with bound 4 scans chunks of 3 rather than decoding all 6
+    frames at once).
+    """
+    if not chunk_size or S <= chunk_size:
+        return None
+    cs = max(d for d in range(1, chunk_size + 1) if S % d == 0)
+    if cs == 1:
+        # prime S above the bound: scan one view at a time
+        return S, 1
+    return S // cs, cs
 
 
 def _apply_dpt_chunked(cfg_head, name, tokens_list, images_hw, patch_start_idx):
