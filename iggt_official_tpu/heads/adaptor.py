@@ -29,20 +29,25 @@ class Projects(nn.Module):
     """Residual conv refinement block (`adaptor.py:9-35`)."""
 
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = Conv2d(self.features, 1, use_bias=False, name="input_proj_conv")(x)
+        dt = self.dtype
+        x = Conv2d(self.features, 1, use_bias=False, dtype=dt,
+                   name="input_proj_conv")(x)
         x = FrozenBatchNorm(self.features, name="input_proj_bn")(x)
         x = nn.relu(x)
         res = x
-        x = Conv2d(self.features, 3, padding=1, use_bias=False, name="res_conv1")(x)
+        x = Conv2d(self.features, 3, padding=1, use_bias=False, dtype=dt,
+                   name="res_conv1")(x)
         x = FrozenBatchNorm(self.features, name="res_bn1")(x)
         x = nn.relu(x)
-        x = Conv2d(self.features, 3, padding=1, use_bias=False, name="res_conv2")(x)
+        x = Conv2d(self.features, 3, padding=1, use_bias=False, dtype=dt,
+                   name="res_conv2")(x)
         x = FrozenBatchNorm(self.features, name="res_bn2")(x)
         x = x + res
-        return Conv2d(self.features, 1, name="output_proj")(x)
+        return Conv2d(self.features, 1, dtype=dt, name="output_proj")(x)
 
 
 def _project_tokens(
@@ -120,6 +125,7 @@ class SamProjector(nn.Module):
     # optional construction-time statics (for nn.scan over view chunks)
     images_hw: Optional[Tuple[int, int]] = None
     patch_start_idx: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -138,26 +144,31 @@ class SamProjector(nn.Module):
         out: List[jax.Array] = []
         for i, layer_idx in enumerate(self.intermediate_layer_idx):
             oc = self.out_channels[i]
+            dt = self.dtype
             x = _project_tokens(
                 aggregated_tokens_list[layer_idx],
                 patch_start_idx,
                 (ph, pw),
                 norm,
-                Conv2d(oc, 1, name=f"projects_{i}"),
+                Conv2d(oc, 1, dtype=dt, name=f"projects_{i}"),
             )
             if i == 0:
                 # two exact 2x upsamples, each refined (`adaptor.py:154-159`)
-                x = ConvTranspose2d(oc, 4, stride=2, padding=1, name="resize_0_up1")(x)
-                x = Projects(oc, name="resize_0_proj1")(x)
-                x = ConvTranspose2d(oc, 4, stride=2, padding=1, name="resize_0_up2")(x)
-                x = Projects(oc, name="resize_0_proj2")(x)
+                x = ConvTranspose2d(oc, 4, stride=2, padding=1, dtype=dt,
+                                    name="resize_0_up1")(x)
+                x = Projects(oc, dtype=dt, name="resize_0_proj1")(x)
+                x = ConvTranspose2d(oc, 4, stride=2, padding=1, dtype=dt,
+                                    name="resize_0_up2")(x)
+                x = Projects(oc, dtype=dt, name="resize_0_proj2")(x)
             elif i == 1:
-                x = ConvTranspose2d(oc, 2, stride=2, name="resize_1_up")(x)
-                x = Projects(oc, name="resize_1_proj")(x)
+                x = ConvTranspose2d(oc, 2, stride=2, dtype=dt,
+                                    name="resize_1_up")(x)
+                x = Projects(oc, dtype=dt, name="resize_1_proj")(x)
             elif i == 2:
-                x = Projects(oc, name="resize_2_proj")(x)
+                x = Projects(oc, dtype=dt, name="resize_2_proj")(x)
             else:
-                x = Conv2d(oc, 3, stride=2, padding=1, name="resize_3_down")(x)
-                x = Projects(oc, name="resize_3_proj")(x)
+                x = Conv2d(oc, 3, stride=2, padding=1, dtype=dt,
+                           name="resize_3_down")(x)
+                x = Projects(oc, dtype=dt, name="resize_3_proj")(x)
             out.append(x)
         return out

@@ -53,13 +53,16 @@ class ResidualConvUnit(nn.Module):
     """
 
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         a = nn.relu(x)
-        out = Conv2d(self.features, 3, padding=1, name="conv1")(a)
+        out = Conv2d(self.features, 3, padding=1, dtype=self.dtype,
+                     name="conv1")(a)
         out = nn.relu(out)
-        out = Conv2d(self.features, 3, padding=1, name="conv2")(out)
+        out = Conv2d(self.features, 3, padding=1, dtype=self.dtype,
+                     name="conv2")(out)
         return out + a
 
 
@@ -71,6 +74,7 @@ class FeatureFusionBlock(nn.Module):
 
     features: int
     has_residual: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -81,12 +85,14 @@ class FeatureFusionBlock(nn.Module):
     ) -> jax.Array:
         if self.has_residual:
             assert residual is not None
-            x = x + ResidualConvUnit(self.features, name="resConfUnit1")(residual)
-        x = ResidualConvUnit(self.features, name="resConfUnit2")(x)
+            x = x + ResidualConvUnit(self.features, dtype=self.dtype,
+                                     name="resConfUnit1")(residual)
+        x = ResidualConvUnit(self.features, dtype=self.dtype,
+                             name="resConfUnit2")(x)
         if size is None:
             size = (2 * x.shape[-3], 2 * x.shape[-2])
         x = bilinear_resize_align_corners(x, size)
-        return Conv2d(self.features, 1, name="out_conv")(x)
+        return Conv2d(self.features, 1, dtype=self.dtype, name="out_conv")(x)
 
 
 class DPTHead(nn.Module):
@@ -104,6 +110,11 @@ class DPTHead(nn.Module):
     # the head can be nn.scan'ed over view chunks (scan passes arrays only)
     images_hw: Optional[Tuple[int, int]] = None
     patch_start_idx: Optional[int] = None
+    # compute dtype of the decode path.  float32 is the reference's
+    # autocast-disabled island (`iggt/models/vggt.py:189`) and is enforced
+    # regardless of the parameter storage dtype; bfloat16 is the documented
+    # fast mode (ModelConfig.head_dtype).  Activations always run fp32.
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -129,50 +140,59 @@ class DPTHead(nn.Module):
             x = aggregated_tokens_list[layer_idx][:, :, patch_start_idx:]
             B, S = x.shape[0], x.shape[1]
             x = x.reshape(B * S, ph * pw, x.shape[-1]).astype(jnp.float32)
-            x = norm(x)
+            x = norm(x).astype(self.dtype)
             x = x.reshape(B * S, ph, pw, x.shape[-1])
-            x = Conv2d(cfg.out_channels[i], 1, name=f"projects_{i}")(x)
+            x = Conv2d(cfg.out_channels[i], 1, dtype=self.dtype,
+                       name=f"projects_{i}")(x)
             if cfg.pos_embed:
                 x = apply_uv_pos_embed(x, W, H)
             kind = resize_specs[i]
             if kind == "up4":
                 x = ConvTranspose2d(
-                    cfg.out_channels[i], 4, stride=4, name=f"resize_{i}"
+                    cfg.out_channels[i], 4, stride=4, dtype=self.dtype,
+                    name=f"resize_{i}"
                 )(x)
             elif kind == "up2":
                 x = ConvTranspose2d(
-                    cfg.out_channels[i], 2, stride=2, name=f"resize_{i}"
+                    cfg.out_channels[i], 2, stride=2, dtype=self.dtype,
+                    name=f"resize_{i}"
                 )(x)
             elif kind == "down2":
                 x = Conv2d(
-                    cfg.out_channels[i], 3, stride=2, padding=1, name=f"resize_{i}"
+                    cfg.out_channels[i], 3, stride=2, padding=1,
+                    dtype=self.dtype, name=f"resize_{i}"
                 )(x)
             levels.append(x)
 
         # Scratch 3x3 projections into the shared fusion width
         rn = [
-            Conv2d(cfg.features, 3, padding=1, use_bias=False, name=f"layer{i+1}_rn")(
-                levels[i]
-            )
+            Conv2d(cfg.features, 3, padding=1, use_bias=False,
+                   dtype=self.dtype, name=f"layer{i+1}_rn")(levels[i])
             for i in range(4)
         ]
 
         # RefineNet fusion top-down (`dpt_head.py:286-316`)
-        out4 = FeatureFusionBlock(cfg.features, has_residual=False, name="refinenet4")(
+        out4 = FeatureFusionBlock(cfg.features, has_residual=False,
+                                  dtype=self.dtype, name="refinenet4")(
             rn[3], size=rn[2].shape[-3:-1]
         )
-        out3 = FeatureFusionBlock(cfg.features, name="refinenet3")(
+        out3 = FeatureFusionBlock(cfg.features, dtype=self.dtype,
+                                  name="refinenet3")(
             out4, rn[2], size=rn[1].shape[-3:-1]
         )
-        out2 = FeatureFusionBlock(cfg.features, name="refinenet2")(
+        out2 = FeatureFusionBlock(cfg.features, dtype=self.dtype,
+                                  name="refinenet2")(
             out3, rn[1], size=rn[0].shape[-3:-1]
         )
-        out1 = FeatureFusionBlock(cfg.features, name="refinenet1")(out2, rn[0])
+        out1 = FeatureFusionBlock(cfg.features, dtype=self.dtype,
+                                  name="refinenet1")(out2, rn[0])
 
         if cfg.for_tracker:
-            out = Conv2d(cfg.features, 3, padding=1, name="output_conv1")(out1)
+            out = Conv2d(cfg.features, 3, padding=1, dtype=self.dtype,
+                         name="output_conv1")(out1)
         else:
-            out = Conv2d(cfg.features // 2, 3, padding=1, name="output_conv1")(out1)
+            out = Conv2d(cfg.features // 2, 3, padding=1, dtype=self.dtype,
+                         name="output_conv1")(out1)
 
         out_hw = (ph * p // cfg.down_ratio, pw * p // cfg.down_ratio)
         out = bilinear_resize_align_corners(out, out_hw)
@@ -182,12 +202,16 @@ class DPTHead(nn.Module):
         if cfg.for_tracker:
             return out.reshape(B, S, *out.shape[1:])
 
-        out = Conv2d(32, 3, padding=1, name="output_conv2_0")(out)
+        out = Conv2d(32, 3, padding=1, dtype=self.dtype,
+                     name="output_conv2_0")(out)
         out = nn.relu(out)
-        out = Conv2d(cfg.output_dim, 1, name="output_conv2_2")(out)
+        out = Conv2d(cfg.output_dim, 1, dtype=self.dtype,
+                     name="output_conv2_2")(out)
 
+        # value/conf activations (exp etc.) always in fp32
         preds, conf = activate_head(
-            out, activation=cfg.activation, conf_activation=cfg.conf_activation
+            out.astype(jnp.float32), activation=cfg.activation,
+            conf_activation=cfg.conf_activation
         )
         preds = preds.reshape(B, S, *preds.shape[1:])
         conf = conf.reshape(B, S, *conf.shape[1:])

@@ -41,6 +41,9 @@ class PartHead(nn.Module):
     # optional construction-time statics (for nn.scan over view chunks)
     images_hw: Optional[Tuple[int, int]] = None
     batch_dims: Optional[Tuple[int, int]] = None
+    # fp32 mirrors the reference's autocast-disabled island and is enforced
+    # regardless of parameter storage; bfloat16 is the documented fast mode
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -65,31 +68,34 @@ class PartHead(nn.Module):
         def flat(x):  # NHWC -> (N, HW, C)
             return x.reshape(x.shape[0], -1, x.shape[-1])
 
+        dt = self.dtype
         rn = [
-            Conv2d(feats, 3, padding=1, use_bias=False, name=f"layer{i+1}_rn")(
-                projector_features[i].astype(jnp.float32)
-            )
+            Conv2d(feats, 3, padding=1, use_bias=False, dtype=dt,
+                   name=f"layer{i+1}_rn")(projector_features[i].astype(dt))
             for i in range(4)
         ]
-        pt2, pt3, pt4 = [t.astype(jnp.float32) for t in point_features]
+        pt2, pt3, pt4 = [t.astype(dt) for t in point_features]
 
-        out = FeatureFusionBlock(feats, has_residual=False, name="refinenet4")(
+        out = FeatureFusionBlock(feats, has_residual=False, dtype=dt,
+                                 name="refinenet4")(
             rn[3], size=rn[2].shape[-3:-1]
         )
         # cross-attention injection, level 1x (`part_head.py:168-173`)
-        out = CrossAttention(feats, cfg.ca_num_heads, name="cross_attention_2")(
+        out = CrossAttention(feats, cfg.ca_num_heads, dtype=dt,
+                             name="cross_attention_2")(
             flat(out), flat(pt4), flat(pt4)
         ).reshape(out.shape)
 
-        out = FeatureFusionBlock(feats, name="refinenet3")(
+        out = FeatureFusionBlock(feats, dtype=dt, name="refinenet3")(
             out, rn[2], size=rn[1].shape[-3:-1]
         )
         # cross-attention injection, level 2x (`part_head.py:178-183`)
-        out = CrossAttention(feats, cfg.ca_num_heads, name="cross_attention_1")(
+        out = CrossAttention(feats, cfg.ca_num_heads, dtype=dt,
+                             name="cross_attention_1")(
             flat(out), flat(pt3), flat(pt3)
         ).reshape(out.shape)
 
-        out = FeatureFusionBlock(feats, name="refinenet2")(
+        out = FeatureFusionBlock(feats, dtype=dt, name="refinenet2")(
             out, rn[1], size=rn[0].shape[-3:-1]
         )
         # overlapping-window cross-attention, level 4x (`part_head.py:188-197`)
@@ -98,11 +104,13 @@ class PartHead(nn.Module):
             out_chans=feats,
             num_heads=cfg.swin_num_heads,
             window_size=cfg.window_size,
+            dtype=dt,
             name="window_cross_attention",
         )(out, pt2, pt2)
 
-        out = FeatureFusionBlock(feats, name="refinenet1")(out, rn[0])
-        out = Conv2d(feats // 2, 3, padding=1, name="output_conv1")(out)
+        out = FeatureFusionBlock(feats, dtype=dt, name="refinenet1")(out, rn[0])
+        out = Conv2d(feats // 2, 3, padding=1, dtype=dt,
+                     name="output_conv1")(out)
 
         # window self-attention on the fused map (`part_head.py:222-225`)
         out = SwinSA(
@@ -110,11 +118,12 @@ class PartHead(nn.Module):
             out_chans=feats // 2,
             num_heads=cfg.swin_num_heads,
             window_size=cfg.window_size,
+            dtype=dt,
             name="window_self_atten",
         )(out)
 
         out = bilinear_resize_align_corners(out, (ph * p, pw * p))
-        out = Conv2d(32, 3, padding=1, name="output_conv2_0")(out)
+        out = Conv2d(32, 3, padding=1, dtype=dt, name="output_conv2_0")(out)
         out = nn.relu(out)
-        out = Conv2d(cfg.output_dim, 1, name="output_conv2_2")(out)
-        return out.reshape(B, S, *out.shape[1:])
+        out = Conv2d(cfg.output_dim, 1, dtype=dt, name="output_conv2_2")(out)
+        return out.astype(jnp.float32).reshape(B, S, *out.shape[1:])

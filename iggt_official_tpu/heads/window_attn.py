@@ -111,12 +111,15 @@ class WindowAttention(nn.Module):
     window_size: int
     num_heads: int
     qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, rpi: jax.Array) -> jax.Array:
         B_, N, C = x.shape
+        x = x.astype(self.dtype)
         hd = self.dim // self.num_heads
-        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
         qkv = qkv.reshape(B_, N, 3, self.num_heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         table = self.param(
@@ -128,7 +131,7 @@ class WindowAttention(nn.Module):
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * hd**-0.5 + bias[None]
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B_, N, C)
-        return nn.Dense(self.dim, name="proj")(out)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
 class ChannelAttention(nn.Module):
@@ -136,13 +139,15 @@ class ChannelAttention(nn.Module):
 
     features: int
     squeeze_factor: int = 16
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         y = jnp.mean(x, axis=(-3, -2), keepdims=True)
-        y = Conv2d(self.features // self.squeeze_factor, 1, name="fc1")(y)
+        y = Conv2d(self.features // self.squeeze_factor, 1, dtype=self.dtype,
+                   name="fc1")(y)
         y = nn.relu(y)
-        y = Conv2d(self.features, 1, name="fc2")(y)
+        y = Conv2d(self.features, 1, dtype=self.dtype, name="fc2")(y)
         return x * jax.nn.sigmoid(y)
 
 
@@ -152,13 +157,17 @@ class CAB(nn.Module):
     features: int
     compress_ratio: int = 3
     squeeze_factor: int = 30
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        y = Conv2d(self.features // self.compress_ratio, 3, padding=1, name="conv1")(x)
+        y = Conv2d(self.features // self.compress_ratio, 3, padding=1,
+                   dtype=self.dtype, name="conv1")(x)
         y = gelu_exact(y)
-        y = Conv2d(self.features, 3, padding=1, name="conv2")(y)
-        return ChannelAttention(self.features, self.squeeze_factor, name="ca")(y)
+        y = Conv2d(self.features, 3, padding=1, dtype=self.dtype,
+                   name="conv2")(y)
+        return ChannelAttention(self.features, self.squeeze_factor,
+                                dtype=self.dtype, name="ca")(y)
 
 
 def _pad_to_multiple(x: jax.Array, ws: int) -> Tuple[jax.Array, Tuple[int, int]]:
@@ -182,32 +191,39 @@ class HAB(nn.Module):
     window_size: int = 8
     conv_scale: float = 0.01
     mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, H, W, C = x.shape
+        x = x.astype(self.dtype)
         shortcut = x
-        xn = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        conv_x = CAB(self.dim, name="conv_block")(xn)
+        # pre-norms stay fp32 (precision island), outputs in compute dtype
+        xn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                          name="norm1")(x).astype(self.dtype)
+        conv_x = CAB(self.dim, dtype=self.dtype, name="conv_block")(xn)
 
         xw, (H0, W0) = _pad_to_multiple(xn, self.window_size)
         Hp, Wp = xw.shape[1], xw.shape[2]
         wins = window_partition(xw, self.window_size)
 
         hd = self.dim // self.num_heads
-        qkv = nn.Dense(3 * self.dim, use_bias=True, name="attn_qkv")(wins)
+        qkv = nn.Dense(3 * self.dim, use_bias=True, dtype=self.dtype,
+                       name="attn_qkv")(wins)
         qkv = qkv.reshape(wins.shape[0], wins.shape[1], 3, self.num_heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * hd**-0.5
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         attn = attn.reshape(wins.shape[0], wins.shape[1], C)
-        attn = nn.Dense(self.dim, name="attn_proj")(attn)
+        attn = nn.Dense(self.dim, dtype=self.dtype, name="attn_proj")(attn)
         attn = window_reverse(attn, self.window_size, Hp, Wp)[:, :H0, :W0]
 
         x = shortcut + attn + conv_x * self.conv_scale
-        x = x + Mlp(int(self.dim * self.mlp_ratio), name="mlp")(
-            nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        x = x + Mlp(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                    name="mlp")(
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                         name="norm2")(x).astype(self.dtype)
         )
         return x
 
@@ -226,20 +242,24 @@ class OCAB(nn.Module):
     window_size: int = 8
     overlap_ratio: float = 0.5
     mlp_ratio: float = 2.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
         B, H, W, C = x.shape
         ws = self.window_size
         ows = int(ws * self.overlap_ratio) + ws
+        x = x.astype(self.dtype)
         shortcut = x
 
-        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
-        xn, kn, vn = norm1(x), norm1(k), norm1(v)
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
+        xn = norm1(x).astype(self.dtype)
+        kn = norm1(k).astype(self.dtype)
+        vn = norm1(v).astype(self.dtype)
 
-        q = nn.Dense(self.dim, name="q")(xn)
-        kk = nn.Dense(self.dim, name="k")(kn)
-        vv = nn.Dense(self.dim, name="v")(vn)
+        q = nn.Dense(self.dim, dtype=self.dtype, name="q")(xn)
+        kk = nn.Dense(self.dim, dtype=self.dtype, name="k")(kn)
+        vv = nn.Dense(self.dim, dtype=self.dtype, name="v")(vn)
 
         q, (H0, W0) = _pad_to_multiple(q, ws)
         kk, _ = _pad_to_multiple(kk, ws)
@@ -270,9 +290,11 @@ class OCAB(nn.Module):
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs, vh).reshape(BN, nq, C)
         attn = window_reverse(attn, ws, Hp, Wp)[:, :H0, :W0]
 
-        x = nn.Dense(self.dim, name="proj")(attn) + shortcut
-        x = x + Mlp(int(self.dim * self.mlp_ratio), name="mlp")(
-            nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="proj")(attn) + shortcut
+        x = x + Mlp(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                    name="mlp")(
+            nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                         name="norm2")(x).astype(self.dtype)
         )
         return x
 
@@ -287,23 +309,29 @@ class SwinSA(nn.Module):
     out_chans: int
     num_heads: int = 4
     window_size: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, H, W, C = x.shape
-        feats = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(
+        x = x.astype(self.dtype)
+        feats = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")(
             x.reshape(B, H * W, C)
-        ).reshape(B, H, W, C)
+        ).reshape(B, H, W, C).astype(self.dtype)
         feats = HAB(
-            self.embed_dim, self.num_heads, self.window_size, name="atten_block"
+            self.embed_dim, self.num_heads, self.window_size,
+            dtype=self.dtype, name="atten_block"
         )(feats)
-        feats = nn.LayerNorm(epsilon=1e-5, name="norm")(
+        feats = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(
             feats.reshape(B, H * W, C)
-        ).reshape(B, H, W, C)
-        x = Conv2d(self.embed_dim, 3, padding=1, name="conv_after_body")(feats) + x
-        x = Conv2d(64, 3, padding=1, name="conv_before_upsample")(x)
+        ).reshape(B, H, W, C).astype(self.dtype)
+        x = Conv2d(self.embed_dim, 3, padding=1, dtype=self.dtype,
+                   name="conv_after_body")(feats) + x
+        x = Conv2d(64, 3, padding=1, dtype=self.dtype,
+                   name="conv_before_upsample")(x)
         x = nn.leaky_relu(x, negative_slope=0.01)
-        return Conv2d(self.out_chans, 3, padding=1, name="conv_last")(x)
+        return Conv2d(self.out_chans, 3, padding=1, dtype=self.dtype,
+                      name="conv_last")(x)
 
 
 class SwinCA(nn.Module):
@@ -318,14 +346,18 @@ class SwinCA(nn.Module):
     # SwinCA passes its own default mlp_ratio=4 down to OCAB
     # (`window_sa.py:448,484`), overriding OCAB's standalone default of 2.
     mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
         B, H, W, C = x.shape
-        pn = nn.LayerNorm(epsilon=1e-5, name="patch_norm")
+        x = x.astype(self.dtype)
+        pn = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="patch_norm")
 
         def embed(t):
-            return pn(t.reshape(B, H * W, C)).reshape(B, H, W, C)
+            return pn(t.reshape(B, H * W, C)).reshape(B, H, W, C).astype(
+                self.dtype
+            )
 
         feats = OCAB(
             self.embed_dim,
@@ -333,12 +365,16 @@ class SwinCA(nn.Module):
             self.window_size,
             self.overlap_ratio,
             self.mlp_ratio,
+            dtype=self.dtype,
             name="atten_block",
         )(embed(x), embed(k), embed(v))
-        feats = nn.LayerNorm(epsilon=1e-5, name="norm")(
+        feats = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(
             feats.reshape(B, H * W, C)
-        ).reshape(B, H, W, C)
-        x = Conv2d(self.embed_dim, 3, padding=1, name="conv_after_body")(feats) + x
-        x = Conv2d(64, 3, padding=1, name="conv_before_upsample")(x)
+        ).reshape(B, H, W, C).astype(self.dtype)
+        x = Conv2d(self.embed_dim, 3, padding=1, dtype=self.dtype,
+                   name="conv_after_body")(feats) + x
+        x = Conv2d(64, 3, padding=1, dtype=self.dtype,
+                   name="conv_before_upsample")(x)
         x = nn.leaky_relu(x, negative_slope=0.01)
-        return Conv2d(self.out_chans, 3, padding=1, name="conv_last")(x)
+        return Conv2d(self.out_chans, 3, padding=1, dtype=self.dtype,
+                      name="conv_last")(x)

@@ -8,8 +8,11 @@ Behavioural parity: `iggt/models/vggt.py:14-230`.
 
 TPU design notes:
 - The trunk (patch embed + 48 alternating blocks) runs in ``trunk_dtype``
-  (bf16 by default); every head runs fp32, mirroring the reference's
-  autocast-disabled head region (`vggt.py:189`, `demo.py:191-195`).
+  (bf16 by default); heads run in ``head_dtype`` — float32 by default,
+  mirroring the reference's autocast-disabled head region (`vggt.py:189`,
+  `demo.py:191-195`) and enforced regardless of parameter storage dtype;
+  ``head_dtype="bfloat16"`` is the documented fast mode (activations and
+  LayerNorms stay fp32).
 - Outputs are NHWC / channels-last: depth (B,S,H,W,1), world points
   (B,S,H,W,3), part features (B,S,H,W,8), pose encodings (B,S,9).
 - ``attn_fn`` is forwarded to the aggregator so callers can swap the XLA
@@ -104,12 +107,14 @@ def _view_chunking(S, chunk_size):
     return S // cs, cs
 
 
-def _apply_dpt_chunked(cfg_head, name, tokens_list, images_hw, patch_start_idx):
+def _apply_dpt_chunked(cfg_head, name, tokens_list, images_hw, patch_start_idx,
+                       dtype=jnp.float32):
     """DPTHead over view chunks (falls back to one call when not needed)."""
     B, S = tokens_list[0].shape[0], tokens_list[0].shape[1]
     plan = _view_chunking(S, cfg_head.frames_chunk_size)
     head = DPTHead(
-        cfg_head, images_hw=images_hw, patch_start_idx=patch_start_idx, name=name
+        cfg_head, images_hw=images_hw, patch_start_idx=patch_start_idx,
+        dtype=dtype, name=name
     )
     if plan is None:
         return head(tokens_list)
@@ -154,13 +159,15 @@ class VGGT(nn.Module):
             preds["pose_enc_list"] = pose_list
         if cfg.enable_depth:
             depth, depth_conf = _apply_dpt_chunked(
-                cfg.depth_head, "depth_head", tokens_list, (H, W), patch_start_idx
+                cfg.depth_head, "depth_head", tokens_list, (H, W),
+                patch_start_idx, dtype=_dtype(cfg.head_dtype)
             )
             preds["depth"] = depth
             preds["depth_conf"] = depth_conf
         if cfg.enable_point:
             pts3d, pts3d_conf = _apply_dpt_chunked(
-                cfg.point_head, "point_head", tokens_list, (H, W), patch_start_idx
+                cfg.point_head, "point_head", tokens_list, (H, W),
+                patch_start_idx, dtype=_dtype(cfg.head_dtype)
             )
             preds["world_points"] = pts3d
             preds["world_points_conf"] = pts3d_conf
@@ -211,7 +218,8 @@ class IGGT(nn.Module):
 
         if cfg.enable_depth:
             depth, depth_conf = _apply_dpt_chunked(
-                cfg.depth_head, "depth_head", tokens_list, (H, W), patch_start_idx
+                cfg.depth_head, "depth_head", tokens_list, (H, W),
+                patch_start_idx, dtype=_dtype(cfg.head_dtype)
             )
             preds["depth"] = depth
             preds["depth_conf"] = depth_conf
@@ -219,7 +227,8 @@ class IGGT(nn.Module):
         point_pyramid = None
         if cfg.enable_point:
             pts3d, pts3d_conf, point_pyramid = _apply_dpt_chunked(
-                cfg.point_head, "point_head", tokens_list, (H, W), patch_start_idx
+                cfg.point_head, "point_head", tokens_list, (H, W),
+                patch_start_idx, dtype=_dtype(cfg.head_dtype)
             )
             preds["world_points"] = pts3d
             preds["world_points_conf"] = pts3d_conf
@@ -235,10 +244,12 @@ class IGGT(nn.Module):
                 out_channels=cfg.part.out_channels,
                 images_hw=(H, W),
                 patch_start_idx=patch_start_idx,
+                dtype=_dtype(cfg.head_dtype),
                 name="part_adaptor",
             )
             part_head = PartHead(
-                cfg.part, images_hw=(H, W), batch_dims=(B, cs), name="part_head"
+                cfg.part, images_hw=(H, W), batch_dims=(B, cs),
+                dtype=_dtype(cfg.head_dtype), name="part_head"
             )
             if plan is None:
                 projector = projector_head(tokens_list)

@@ -311,3 +311,37 @@ def test_iggt_end_to_end_tiny():
     assert preds["part_feat"].shape == (B, S, H, W, 8)
     for v in jax.tree.leaves(preds):
         assert np.isfinite(np.asarray(v)).all()
+
+
+def test_iggt_bf16_head_fast_mode():
+    """head_dtype="bfloat16" runs the decode paths in bf16 and stays close
+    to the fp32 island output (same params)."""
+    import dataclasses
+
+    from iggt_official_tpu.models.vggt import IGGT
+
+    cfg = ModelConfig().scaled(
+        embed_dim=64, depth=4, num_heads=4, img_size=112, patch_embed="conv"
+    )
+    cfg_fast = dataclasses.replace(cfg, head_dtype="bfloat16")
+    rng = np.random.default_rng(9)
+    B, S, H, W = 1, 2, 112, 112
+    imgs = jnp.asarray(rng.uniform(0, 1, (B, S, H, W, 3)).astype(np.float32))
+
+    model = IGGT(cfg)
+    params = model.init(jax.random.PRNGKey(0), imgs)
+    ref = model.apply(params, imgs)
+    # identical param tree: the fast mode only changes compute dtype
+    fast = IGGT(cfg_fast).apply(params, imgs)
+
+    assert fast["part_feat"].dtype == jnp.float32  # outputs upcast
+    for key in ("depth", "world_points", "part_feat", "pose_enc"):
+        a, b = np.asarray(ref[key]), np.asarray(fast[key])
+        assert np.isfinite(b).all()
+        denom = np.maximum(np.abs(a), 1.0)
+        assert np.median(np.abs(a - b) / denom) < 0.05, key
+    # camera head is always fp32 -> pose must match tightly
+    np.testing.assert_allclose(
+        np.asarray(ref["pose_enc"]), np.asarray(fast["pose_enc"]),
+        rtol=1e-4, atol=1e-4,
+    )
