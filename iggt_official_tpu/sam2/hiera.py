@@ -29,6 +29,7 @@ from iggt_official_tpu.sam2.common import (
 )
 from iggt_official_tpu.sam2.config import HieraConfig, SAM2Config
 from iggt_official_tpu.ops.conv import Conv2d
+from iggt_official_tpu.ops.flash_attention import attention
 from iggt_official_tpu.ops.interpolate import bilinear_resize_align_corners
 
 
@@ -61,10 +62,9 @@ class MultiScaleAttention(nn.Module):
             H, W = q.shape[1], q.shape[2]
             q = q.reshape(B, H * W, self.num_heads, hd)
 
-        scale = hd**-0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        # dispatcher: XLA softmax for the small windowed blocks, Pallas
+        # flash for the >=4k-token global-attention blocks
+        out = attention(q, k, v)
         out = out.reshape(B, H, W, self.dim_out)
         return nn.Dense(self.dim_out, name="proj")(out)
 
