@@ -18,12 +18,18 @@ import time
 
 import numpy as np
 
+# persist compiled executables across runs (first whole-model compile of the
+# session is minutes; cached reruns are seconds)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 ANCHOR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json")
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from iggt_official_tpu.config import ModelConfig
     from iggt_official_tpu.models.vggt import IGGT
