@@ -14,6 +14,14 @@ Behavioural parity: `sam2/sam2_video_predictor.py:36-626` +
 
 The frame/memory bookkeeping is host-side Python (as in the reference);
 the jitted compute is SAM2Base's methods.  Batch dim is per-object.
+
+TPU design note: per-frame outputs (mask-memory features, object pointers,
+mask logits) stay ON DEVICE as jax arrays, and the fixed-shape memory bank
+is assembled with async jnp ops.  Fetching them to numpy every frame (the
+reference's `.cpu()` offload pattern) serializes the stream on a
+device-transfer round trip ~10x per frame — on a tunneled/remote device
+that is the whole runtime (measured 99% host wait at 512px).  Only the
+yielded mask forces a transfer, and only if the caller converts it.
 """
 
 from __future__ import annotations
@@ -74,14 +82,13 @@ class SAM2VideoPredictor:
         self._obj_ptr_tpos = jax.jit(
             lambda v, pos: model.apply(v, pos, method=SAM2Base.obj_ptr_tpos)
         )
-        # the maskmem temporal rows are constants of the checkpoint
-        self._tpos_rows = np.asarray(
-            model.apply(
-                variables,
-                jnp.arange(self.cfg.num_maskmem, dtype=jnp.int32),
-                method=SAM2Base.memory_tpos,
-            )
+        # the maskmem temporal rows are constants of the checkpoint (device)
+        self._tpos_rows = model.apply(
+            variables,
+            jnp.arange(self.cfg.num_maskmem, dtype=jnp.int32),
+            method=SAM2Base.memory_tpos,
         )
+        self._zero_slot = None  # lazy (1, n_spatial, mem_dim) zeros
 
     # ------------------------------------------------------------------
     def init_state(self, images: Sequence[np.ndarray]) -> Dict:
@@ -175,7 +182,7 @@ class SAM2VideoPredictor:
             frame_idx, None
         )
         masks = self._transforms.postprocess_masks(
-            jnp.asarray(out["pred_masks"][None]), state["orig_hw"]
+            out["pred_masks"][None], state["orig_hw"]
         )
         return frame_idx, state["obj_ids"], masks[0]
 
@@ -227,7 +234,7 @@ class SAM2VideoPredictor:
                     non_cond[frame_idx] = out
                 per_obj_masks.append(out["pred_masks"])
             masks = self._transforms.postprocess_masks(
-                jnp.asarray(np.stack(per_obj_masks)), state["orig_hw"]
+                jnp.stack(per_obj_masks), state["orig_hw"]
             )[:, 0]
             yield frame_idx, obj_ids, masks
 
@@ -288,12 +295,14 @@ class SAM2VideoPredictor:
             self.variables, feats,
             jnp.moveaxis(high_res_masks, 1, -1), obj_logits,
         )
+        # all device arrays: dispatches stay async, nothing blocks the
+        # stream on a host transfer
         return {
-            "maskmem_features": np.asarray(mem_feats),
-            "maskmem_pos_enc": np.asarray(mem_pos),
-            "pred_masks": np.asarray(low_res_masks)[0],
-            "obj_ptr": np.asarray(obj_ptr)[0],
-            "object_score_logits": np.asarray(obj_logits)[0],
+            "maskmem_features": mem_feats,
+            "maskmem_pos_enc": mem_pos,
+            "pred_masks": low_res_masks[0],
+            "obj_ptr": obj_ptr[0],
+            "object_score_logits": obj_logits[0],
         }
 
     # ------------------------------------------------------------------
@@ -327,17 +336,27 @@ class SAM2VideoPredictor:
 
         mem_dim = cfg.mem_dim
         n_slots = cfg.num_maskmem
-        mem = np.zeros((1, n_slots * n_spatial_tokens, mem_dim), np.float32)
-        mem_pos = np.zeros_like(mem)
+        # device-side assembly: stacking/adding jax arrays dispatches async;
+        # only the tiny key mask is host-built
+        if (
+            self._zero_slot is None
+            or self._zero_slot.shape[1] != n_spatial_tokens
+        ):
+            self._zero_slot = jnp.zeros(
+                (1, n_spatial_tokens, mem_dim), jnp.float32
+            )
+        mem_parts = [self._zero_slot] * n_slots
+        pos_parts = [self._zero_slot] * n_slots
         mask = np.zeros((1, n_slots * n_spatial_tokens), bool)
         tpos_rows = self._tpos_rows
         for slot, (t_pos, prev) in enumerate(t_and_prev):
-            f = prev["maskmem_features"].reshape(-1, mem_dim)
-            p = prev["maskmem_pos_enc"].reshape(-1, mem_dim)
-            sl = slice(slot * n_spatial_tokens, (slot + 1) * n_spatial_tokens)
-            mem[0, sl] = f
-            mem_pos[0, sl] = p + tpos_rows[cfg.num_maskmem - t_pos - 1]
-            mask[0, sl] = True
+            f = prev["maskmem_features"].reshape(1, -1, mem_dim)
+            p = prev["maskmem_pos_enc"].reshape(1, -1, mem_dim)
+            mem_parts[slot] = f
+            pos_parts[slot] = p + tpos_rows[cfg.num_maskmem - t_pos - 1]
+            mask[0, slot * n_spatial_tokens:(slot + 1) * n_spatial_tokens] = True
+        mem = jnp.concatenate(mem_parts, axis=1)
+        mem_pos = jnp.concatenate(pos_parts, axis=1)
 
         # object pointers: fixed max_ptrs * split token block
         split = max(cfg.d_model // cfg.mem_dim, 1)
@@ -365,33 +384,36 @@ class SAM2VideoPredictor:
             pos_and_ptrs = pos_and_ptrs[:max_ptrs]
 
             n_ptr_tokens = max_ptrs * split
-            ptr_block = np.zeros((1, n_ptr_tokens, mem_dim), np.float32)
-            ptr_pos = np.zeros_like(ptr_block)
             ptr_mask = np.zeros((1, n_ptr_tokens), bool)
             if pos_and_ptrs:
                 pos_list, ptr_list = zip(*pos_and_ptrs)
-                ptrs = np.stack(ptr_list).reshape(-1, split, mem_dim)
+                k = len(pos_list)
+                # pad the *list* to max_ptrs with a cached zero pointer so
+                # every eager op below keeps one fixed shape across the
+                # whole video (a k-dependent stack would trigger a fresh
+                # compile on nearly every frame)
+                ptr_list = list(ptr_list)
+                zero_ptr = jnp.zeros_like(ptr_list[0])
+                ptr_list += [zero_ptr] * (max_ptrs - k)
+                ptr_block = jnp.stack(ptr_list).reshape(
+                    1, n_ptr_tokens, mem_dim
+                )
                 if cfg.add_tpos_enc_to_obj_ptrs:
                     t_diff_max = max(max_ptrs - 1, 1)
-                    # pad to the fixed block so the jitted program is shared
                     pos_arr = np.zeros(max_ptrs, np.float32)
-                    pos_arr[: len(pos_list)] = np.asarray(pos_list) / t_diff_max
-                    obj_pos = np.asarray(
-                        self._obj_ptr_tpos(self.variables, jnp.asarray(pos_arr))
-                    )[: len(pos_list)]
+                    pos_arr[:k] = np.asarray(pos_list) / t_diff_max
+                    obj_pos = self._obj_ptr_tpos(
+                        self.variables, jnp.asarray(pos_arr)
+                    )
                 else:
-                    obj_pos = np.zeros((len(pos_list), mem_dim), np.float32)
-                n = len(pos_list) * split
-                ptr_block[0, :n] = ptrs.reshape(-1, mem_dim)
-                ptr_pos[0, :n] = np.repeat(obj_pos, split, axis=0)
-                ptr_mask[0, :n] = True
-            mem = np.concatenate([mem, ptr_block], axis=1)
-            mem_pos = np.concatenate([mem_pos, ptr_pos], axis=1)
+                    obj_pos = jnp.zeros((max_ptrs, mem_dim), jnp.float32)
+                ptr_pos = jnp.repeat(obj_pos, split, axis=0)[None]
+                ptr_mask[0, : k * split] = True
+            else:
+                ptr_block = jnp.zeros((1, n_ptr_tokens, mem_dim), jnp.float32)
+                ptr_pos = ptr_block
+            mem = jnp.concatenate([mem, ptr_block], axis=1)
+            mem_pos = jnp.concatenate([mem_pos, ptr_pos], axis=1)
             mask = np.concatenate([mask, ptr_mask], axis=1)
 
-        return (
-            jnp.asarray(mem),
-            jnp.asarray(mem_pos),
-            jnp.asarray(mask),
-            n_ptr_tokens,
-        )
+        return mem, mem_pos, jnp.asarray(mask), n_ptr_tokens
