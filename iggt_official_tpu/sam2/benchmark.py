@@ -77,7 +77,11 @@ def main() -> None:
     )
     t0 = time.perf_counter()
     count = 0
-    for _ in predictor.propagate_in_video(state):
+    for _, _, masks in predictor.propagate_in_video(state):
+        # force this frame's compute to finish (small host fetch rather
+        # than the full mask: measures stream latency, not the tunnel's
+        # transfer bandwidth)
+        np.asarray(masks[..., ::64, ::64])
         count += 1
     dt = time.perf_counter() - t0
     print(f"Total Time: {dt:.2f}s over {count} frames")
