@@ -290,6 +290,76 @@ class SAM2Base(nn.Module):
         return self.mask_downsample(mask)
 
     # ------------------------------------------------------------------
+    def propagate_step(
+        self,
+        feats_map: jax.Array,                 # (B, h, w, C) top-level feats
+        curr_pos: jax.Array,                  # (B, h*w, C)
+        high_res_features,                    # list of maps or None (static)
+        mem_slots,                            # tuple of (B, hw, mem_dim)
+        pos_slots,                            # tuple of (B, hw, mem_dim)
+        tpos_idx: jax.Array,                  # (n_slots,) int32 tpos rows
+        slot_valid: jax.Array,                # (n_slots,) bool
+        obj_ptrs,                             # tuple of (d_model,) pointers
+        ptr_pos_norm: jax.Array,              # (max_ptrs,) normalized t-pos
+        n_valid_ptrs: jax.Array,              # () int32
+        multimask_output: bool = False,
+    ):
+        """One whole non-conditioning tracking step, fused.
+
+        Memory-bank assembly (temporal embeddings, pointer splitting,
+        validity masks) + memory attention + SAM heads + memory encoding in
+        a single jittable call: the streaming loop costs ~3 dispatches per
+        frame instead of ~200 eager ops, which is what bounds throughput on
+        a high-dispatch-latency (remote) device.  Matches the composition
+        of `condition_on_memory` + `forward_sam_heads` +
+        `encode_new_memory` exactly (`sam2_base.py:491-729`).
+        """
+        cfg = self.cfg
+        B, h, w, C = feats_map.shape
+        curr = feats_map.reshape(B, h * w, C)
+        md = cfg.mem_dim
+        hw_mem = mem_slots[0].shape[1]
+        n_slots = len(mem_slots)
+
+        rows = self.maskmem_tpos_enc[tpos_idx][:, 0]          # (n_slots, md)
+        mem = jnp.concatenate(mem_slots, axis=1)              # (B, n*hw, md)
+        pos = jnp.concatenate(
+            [p + r[None, None] for p, r in zip(pos_slots, rows)], axis=1
+        )
+        spatial_mask = jnp.repeat(slot_valid, hw_mem)[None]   # (1, n*hw)
+
+        split = max(cfg.d_model // md, 1)
+        max_ptrs = len(obj_ptrs)
+        n_ptr_tokens = max_ptrs * split
+        ptr_tokens = jnp.stack(obj_ptrs).reshape(1, n_ptr_tokens, md)
+        if cfg.add_tpos_enc_to_obj_ptrs:
+            enc = self.obj_ptr_tpos(ptr_pos_norm)             # (max_ptrs, md)
+        else:
+            enc = jnp.zeros((max_ptrs, md), jnp.float32)
+        ptr_pos = jnp.repeat(enc, split, axis=0)[None]
+        ptr_mask = (
+            jnp.arange(n_ptr_tokens) < n_valid_ptrs * split
+        )[None]
+
+        memory = jnp.concatenate([mem, ptr_tokens], axis=1)
+        memory_pos = jnp.concatenate([pos, ptr_pos], axis=1)
+        key_mask = jnp.concatenate([spatial_mask, ptr_mask], axis=1)
+
+        fused = self.memory_attention(
+            curr, memory, curr_pos, memory_pos,
+            num_obj_ptr_tokens=n_ptr_tokens, key_mask=key_mask,
+        ).reshape(B, h, w, C)
+
+        (_, _, ious, low_res_masks, high_res_masks, obj_ptr,
+         obj_logits) = self.forward_sam_heads(
+            fused, None, None, high_res_features, multimask_output
+        )
+        mem_feats, mem_pos = self.encode_new_memory(
+            feats_map, jnp.moveaxis(high_res_masks, 1, -1), obj_logits
+        )
+        return low_res_masks, obj_ptr, obj_logits, mem_feats, mem_pos
+
+    # ------------------------------------------------------------------
     def encode_new_memory(
         self,
         pix_feat: jax.Array,               # (B, h, w, C) top-level features

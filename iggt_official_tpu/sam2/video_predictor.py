@@ -82,6 +82,16 @@ class SAM2VideoPredictor:
         self._obj_ptr_tpos = jax.jit(
             lambda v, pos: model.apply(v, pos, method=SAM2Base.obj_ptr_tpos)
         )
+        # the fused streaming step: one dispatch per propagated frame
+        self._propagate_step = jax.jit(
+            lambda v, feats, cp, hi, mem_slots, pos_slots, tpos_idx,
+            slot_valid, ptrs, ptr_pos_norm, n_valid, multi: model.apply(
+                v, feats, cp, hi, mem_slots, pos_slots, tpos_idx,
+                slot_valid, ptrs, ptr_pos_norm, n_valid, multi,
+                method=SAM2Base.propagate_step,
+            ),
+            static_argnames=("multi",),
+        )
         # the maskmem temporal rows are constants of the checkpoint (device)
         self._tpos_rows = model.apply(
             variables,
@@ -89,11 +99,21 @@ class SAM2VideoPredictor:
             method=SAM2Base.memory_tpos,
         )
         self._zero_slot = None  # lazy (1, n_spatial, mem_dim) zeros
+        self._zero_ptr = None   # lazy (d_model,) zero object pointer
 
     # ------------------------------------------------------------------
     def init_state(self, images: Sequence[np.ndarray]) -> Dict:
-        """images: list/array of HWC RGB frames."""
-        frames = self._transforms.forward_batch(list(images))
+        """images: list/array of HWC RGB frames.
+
+        The preprocessed stack is uploaded to the device once (25 frames at
+        512px is ~78 MB) — a per-frame upload costs a blocking host->device
+        transfer inside the streaming loop, which dominates frame latency
+        on a remote device.  (The reference's `offload_video_to_cpu` is the
+        opposite trade; for very long videos, shard the video into clips.)
+        """
+        frames = jax.device_put(
+            jnp.asarray(self._transforms.forward_batch(list(images)))
+        )
         return {
             "images": frames,
             "num_frames": len(frames),
@@ -115,7 +135,7 @@ class SAM2VideoPredictor:
     # ------------------------------------------------------------------
     def _get_image_features(self, state: Dict, frame_idx: int):
         if frame_idx not in state["cached_features"]:
-            img = jnp.asarray(state["images"][frame_idx][None])
+            img = state["images"][frame_idx][None]  # device-resident slice
             state["cached_features"][frame_idx] = self._forward_image(
                 self.variables, img
             )
@@ -225,11 +245,8 @@ class SAM2VideoPredictor:
                 if frame_idx in cond:
                     out = cond[frame_idx]
                 else:
-                    out = self._run_single_frame(
-                        state, frame_idx, obj_id,
-                        point_inputs=None,
-                        is_init_cond_frame=False,
-                        reverse=reverse,
+                    out = self._run_propagate_frame(
+                        state, frame_idx, obj_id, reverse=reverse
                     )
                     non_cond[frame_idx] = out
                 per_obj_masks.append(out["pred_masks"])
@@ -237,6 +254,136 @@ class SAM2VideoPredictor:
                 jnp.stack(per_obj_masks), state["orig_hw"]
             )[:, 0]
             yield frame_idx, obj_ids, masks
+
+    # ------------------------------------------------------------------
+    def _run_propagate_frame(
+        self,
+        state: Dict,
+        frame_idx: int,
+        obj_id: int,
+        reverse: bool = False,
+    ) -> Dict:
+        """Non-conditioning tracking step via the fused `propagate_step`.
+
+        Host code only *selects* which device arrays feed the bank; all
+        assembly and compute is one jitted dispatch (the streaming loop is
+        dispatch-latency-bound on a remote device).
+        """
+        cfg = self.cfg
+        backbone = self._get_image_features(state, frame_idx)
+        feats = backbone["backbone_fpn"][-1]       # (1, h, w, C)
+        pos = backbone["vision_pos_enc"][-1]
+        hi = (
+            list(backbone["backbone_fpn"][:2])
+            if cfg.use_high_res_features_in_sam
+            else None
+        )
+        B, h, w, C = feats.shape
+        curr_pos = pos.reshape(B, h * w, C)
+
+        cond = self._obj_store(state, obj_id, "cond_frame_outputs")
+        non_cond = self._obj_store(state, obj_id, "non_cond_frame_outputs")
+        if not cond:
+            # no prompts yet: fall back to the unfused no-memory path
+            return self._run_single_frame(
+                state, frame_idx, obj_id, point_inputs=None,
+                is_init_cond_frame=True, reverse=reverse,
+            )
+
+        # ---- spatial memory slot selection (`sam2_base.py:490-560`)
+        t_and_prev = [(0, out) for _, out in sorted(cond.items())]
+        for t_pos in range(1, cfg.num_maskmem):
+            t_rel = cfg.num_maskmem - t_pos
+            prev_idx = frame_idx + t_rel if reverse else frame_idx - t_rel
+            out = non_cond.get(prev_idx)
+            if out is None:
+                out = cond.get(prev_idx)
+                if out is not None and any(o is out for _, o in t_and_prev):
+                    out = None
+            if out is not None:
+                t_and_prev.append((t_pos, out))
+        t_and_prev = t_and_prev[: cfg.num_maskmem]
+
+        mem_dim = cfg.mem_dim
+        n_slots = cfg.num_maskmem
+        n_spatial = None
+        mem_slots: List = [None] * n_slots
+        pos_slots: List = [None] * n_slots
+        tpos_idx = np.zeros(n_slots, np.int32)
+        slot_valid = np.zeros(n_slots, bool)
+        for slot, (t_pos, prev) in enumerate(t_and_prev):
+            f = prev["maskmem_features"].reshape(1, -1, mem_dim)
+            p = prev["maskmem_pos_enc"].reshape(1, -1, mem_dim)
+            n_spatial = f.shape[1]
+            mem_slots[slot] = f
+            pos_slots[slot] = p
+            tpos_idx[slot] = cfg.num_maskmem - t_pos - 1
+            slot_valid[slot] = True
+        if (
+            self._zero_slot is None
+            or self._zero_slot.shape[1] != n_spatial
+        ):
+            self._zero_slot = jnp.zeros((1, n_spatial, mem_dim), jnp.float32)
+        mem_slots = [m if m is not None else self._zero_slot for m in mem_slots]
+        pos_slots = [p if p is not None else self._zero_slot for p in pos_slots]
+
+        # ---- object pointer selection (`sam2_base.py:570-640`)
+        split = max(cfg.d_model // mem_dim, 1)
+        max_ptrs = min(state["num_frames"], cfg.max_obj_ptrs_in_encoder)
+        sign = -1 if reverse else 1
+        pos_and_ptrs = [
+            (
+                (frame_idx - t) * sign
+                if cfg.use_signed_tpos_enc_to_obj_ptrs
+                else abs(frame_idx - t),
+                out["obj_ptr"],
+            )
+            for t, out in cond.items()
+            if (t >= frame_idx if reverse else t <= frame_idx)
+        ]
+        for t_diff in range(1, max_ptrs):
+            t = frame_idx + t_diff if reverse else frame_idx - t_diff
+            if t < 0 or t >= state["num_frames"]:
+                break
+            out = non_cond.get(t)
+            if out is not None:
+                pos_and_ptrs.append((t_diff, out["obj_ptr"]))
+        pos_and_ptrs = pos_and_ptrs[:max_ptrs]
+        k = len(pos_and_ptrs)
+        ptr_list = [p for _, p in pos_and_ptrs]
+        if self._zero_ptr is None or (
+            ptr_list and self._zero_ptr.shape != ptr_list[0].shape
+        ):
+            proto = ptr_list[0] if ptr_list else None
+            self._zero_ptr = (
+                jnp.zeros_like(proto)
+                if proto is not None
+                else jnp.zeros((cfg.d_model,), jnp.float32)
+            )
+        ptr_list += [self._zero_ptr] * (max_ptrs - k)
+        t_diff_max = max(max_ptrs - 1, 1)
+        ptr_pos_norm = np.zeros(max_ptrs, np.float32)
+        ptr_pos_norm[:k] = (
+            np.asarray([t for t, _ in pos_and_ptrs], np.float32) / t_diff_max
+        )
+
+        low_res_masks, obj_ptr, obj_logits, mem_feats, mem_pos = (
+            self._propagate_step(
+                self.variables, feats, curr_pos, hi,
+                tuple(mem_slots), tuple(pos_slots),
+                jnp.asarray(tpos_idx), jnp.asarray(slot_valid),
+                tuple(ptr_list), jnp.asarray(ptr_pos_norm),
+                jnp.asarray(np.int32(k)),
+                cfg.multimask_output_for_tracking,
+            )
+        )
+        return {
+            "maskmem_features": mem_feats,
+            "maskmem_pos_enc": mem_pos,
+            "pred_masks": low_res_masks[0],
+            "obj_ptr": obj_ptr[0],
+            "object_score_logits": obj_logits[0],
+        }
 
     # ------------------------------------------------------------------
     def _run_single_frame(
