@@ -55,13 +55,6 @@ class SAM2VideoPredictor:
         self._forward_image = jax.jit(
             lambda v, x: model.apply(v, x, method=SAM2Base.forward_image)
         )
-        self._condition = jax.jit(
-            lambda v, curr, cp, mem, mp, mask, n_ptr: model.apply(
-                v, curr, cp, mem, mp, n_ptr, mask,
-                method=SAM2Base.condition_on_memory,
-            ),
-            static_argnames=("n_ptr",),
-        )
         self._no_memory = jax.jit(
             lambda v, curr: model.apply(
                 v, curr, method=SAM2Base.no_memory_features
@@ -79,9 +72,6 @@ class SAM2VideoPredictor:
                 v, feats, masks, logits, method=SAM2Base.encode_new_memory
             )
         )
-        self._obj_ptr_tpos = jax.jit(
-            lambda v, pos: model.apply(v, pos, method=SAM2Base.obj_ptr_tpos)
-        )
         # the fused streaming step: one dispatch per propagated frame
         self._propagate_step = jax.jit(
             lambda v, feats, cp, hi, mem_slots, pos_slots, tpos_idx,
@@ -91,12 +81,6 @@ class SAM2VideoPredictor:
                 method=SAM2Base.propagate_step,
             ),
             static_argnames=("multi",),
-        )
-        # the maskmem temporal rows are constants of the checkpoint (device)
-        self._tpos_rows = model.apply(
-            variables,
-            jnp.arange(self.cfg.num_maskmem, dtype=jnp.int32),
-            method=SAM2Base.memory_tpos,
         )
         self._zero_slot = None  # lazy (1, n_spatial, mem_dim) zeros
         self._zero_ptr = None   # lazy (d_model,) zero object pointer
@@ -409,19 +393,10 @@ class SAM2VideoPredictor:
         curr = feats.reshape(B, h * w, C)
         curr_pos = pos.reshape(B, h * w, C)
 
-        if is_init_cond_frame:
-            fused = self._no_memory(self.variables, curr)
-        else:
-            memory, memory_pos, key_mask, n_ptr_tokens = self._build_memory(
-                state, frame_idx, obj_id, reverse, n_spatial_tokens=h * w
-            )
-            if memory is None:
-                fused = self._no_memory(self.variables, curr)
-            else:
-                fused = self._condition(
-                    self.variables, curr, curr_pos, memory, memory_pos,
-                    key_mask, n_ptr_tokens,
-                )
+        # conditioning frames have no earlier memory; propagation frames go
+        # through the fused `_run_propagate_frame`
+        assert is_init_cond_frame
+        fused = self._no_memory(self.variables, curr)
         fused_map = fused.reshape(B, h, w, C)
 
         multimask = (
@@ -452,115 +427,3 @@ class SAM2VideoPredictor:
             "object_score_logits": obj_logits[0],
         }
 
-    # ------------------------------------------------------------------
-    def _build_memory(self, state, frame_idx, obj_id, reverse,
-                      n_spatial_tokens):
-        """Assemble a FIXED-SHAPE memory bank (`sam2_base.py:490-647`).
-
-        Spatial memories pad to num_maskmem frame slots and object pointers
-        to max_obj_ptrs_in_encoder blocks; padded tokens are masked out in
-        the attention.  Fixed shapes keep the jitted conditioner from
-        recompiling as the bank grows through the video.
-        """
-        cfg = self.cfg
-        cond = self._obj_store(state, obj_id, "cond_frame_outputs")
-        non_cond = self._obj_store(state, obj_id, "non_cond_frame_outputs")
-        if not cond:
-            return None, None, None, 0
-
-        t_and_prev = [(0, out) for _, out in sorted(cond.items())]
-        for t_pos in range(1, cfg.num_maskmem):
-            t_rel = cfg.num_maskmem - t_pos
-            prev_idx = frame_idx + t_rel if reverse else frame_idx - t_rel
-            out = non_cond.get(prev_idx)
-            if out is None:
-                out = cond.get(prev_idx)
-                if out is not None and any(o is out for _, o in t_and_prev):
-                    out = None
-            if out is not None:
-                t_and_prev.append((t_pos, out))
-        t_and_prev = t_and_prev[: cfg.num_maskmem]
-
-        mem_dim = cfg.mem_dim
-        n_slots = cfg.num_maskmem
-        # device-side assembly: stacking/adding jax arrays dispatches async;
-        # only the tiny key mask is host-built
-        if (
-            self._zero_slot is None
-            or self._zero_slot.shape[1] != n_spatial_tokens
-        ):
-            self._zero_slot = jnp.zeros(
-                (1, n_spatial_tokens, mem_dim), jnp.float32
-            )
-        mem_parts = [self._zero_slot] * n_slots
-        pos_parts = [self._zero_slot] * n_slots
-        mask = np.zeros((1, n_slots * n_spatial_tokens), bool)
-        tpos_rows = self._tpos_rows
-        for slot, (t_pos, prev) in enumerate(t_and_prev):
-            f = prev["maskmem_features"].reshape(1, -1, mem_dim)
-            p = prev["maskmem_pos_enc"].reshape(1, -1, mem_dim)
-            mem_parts[slot] = f
-            pos_parts[slot] = p + tpos_rows[cfg.num_maskmem - t_pos - 1]
-            mask[0, slot * n_spatial_tokens:(slot + 1) * n_spatial_tokens] = True
-        mem = jnp.concatenate(mem_parts, axis=1)
-        mem_pos = jnp.concatenate(pos_parts, axis=1)
-
-        # object pointers: fixed max_ptrs * split token block
-        split = max(cfg.d_model // cfg.mem_dim, 1)
-        max_ptrs = min(state["num_frames"], cfg.max_obj_ptrs_in_encoder)
-        n_ptr_tokens = 0
-        if cfg.use_obj_ptrs_in_encoder:
-            sign = -1 if reverse else 1
-            pos_and_ptrs = [
-                (
-                    (frame_idx - t) * sign
-                    if cfg.use_signed_tpos_enc_to_obj_ptrs
-                    else abs(frame_idx - t),
-                    out["obj_ptr"],
-                )
-                for t, out in cond.items()
-                if (t >= frame_idx if reverse else t <= frame_idx)
-            ]
-            for t_diff in range(1, max_ptrs):
-                t = frame_idx + t_diff if reverse else frame_idx - t_diff
-                if t < 0 or t >= state["num_frames"]:
-                    break
-                out = non_cond.get(t)
-                if out is not None:
-                    pos_and_ptrs.append((t_diff, out["obj_ptr"]))
-            pos_and_ptrs = pos_and_ptrs[:max_ptrs]
-
-            n_ptr_tokens = max_ptrs * split
-            ptr_mask = np.zeros((1, n_ptr_tokens), bool)
-            if pos_and_ptrs:
-                pos_list, ptr_list = zip(*pos_and_ptrs)
-                k = len(pos_list)
-                # pad the *list* to max_ptrs with a cached zero pointer so
-                # every eager op below keeps one fixed shape across the
-                # whole video (a k-dependent stack would trigger a fresh
-                # compile on nearly every frame)
-                ptr_list = list(ptr_list)
-                zero_ptr = jnp.zeros_like(ptr_list[0])
-                ptr_list += [zero_ptr] * (max_ptrs - k)
-                ptr_block = jnp.stack(ptr_list).reshape(
-                    1, n_ptr_tokens, mem_dim
-                )
-                if cfg.add_tpos_enc_to_obj_ptrs:
-                    t_diff_max = max(max_ptrs - 1, 1)
-                    pos_arr = np.zeros(max_ptrs, np.float32)
-                    pos_arr[:k] = np.asarray(pos_list) / t_diff_max
-                    obj_pos = self._obj_ptr_tpos(
-                        self.variables, jnp.asarray(pos_arr)
-                    )
-                else:
-                    obj_pos = jnp.zeros((max_ptrs, mem_dim), jnp.float32)
-                ptr_pos = jnp.repeat(obj_pos, split, axis=0)[None]
-                ptr_mask[0, : k * split] = True
-            else:
-                ptr_block = jnp.zeros((1, n_ptr_tokens, mem_dim), jnp.float32)
-                ptr_pos = ptr_block
-            mem = jnp.concatenate([mem, ptr_block], axis=1)
-            mem_pos = jnp.concatenate([mem_pos, ptr_pos], axis=1)
-            mask = np.concatenate([mask, ptr_mask], axis=1)
-
-        return mem, mem_pos, jnp.asarray(mask), n_ptr_tokens
