@@ -135,6 +135,10 @@ class PartHeadConfig:
     window_size: int = 8
     ca_num_heads: int = 8  # MemEffCrossAttention at fusion levels 4 and 3
     swin_num_heads: int = 4
+    # "reference" replicates the checkpoint's channel-scrambled OCAB q
+    # partition (`window_sa.py:280-287`); "hat" is the spatially-correct
+    # variant for from-scratch training.
+    q_window_mode: str = "reference"
     # upper bound on the part-path view chunk (see models/vggt.py)
     frames_chunk_size: int = 8
 

@@ -89,11 +89,17 @@ class PartHead(nn.Module):
         out = FeatureFusionBlock(feats, dtype=dt, name="refinenet3")(
             out, rn[2], size=rn[1].shape[-3:-1]
         )
-        # cross-attention injection, level 2x (`part_head.py:178-183`)
-        out = CrossAttention(feats, cfg.ca_num_heads, dtype=dt,
-                             name="cross_attention_1")(
+        # Reference quirk (`part_head.py:178-185`): cross_attention_1's
+        # output `out3` is computed but NEVER consumed — refinenet2 takes
+        # `out` (the refinenet3 result), unlike level 1x where `out4` is
+        # wired in.  We call the module so its parameters exist for the
+        # checkpoint converter and discard the result (XLA dead-code
+        # eliminates the compute under jit).
+        _unused_out3 = CrossAttention(feats, cfg.ca_num_heads, dtype=dt,
+                                      name="cross_attention_1")(
             flat(out), flat(pt3), flat(pt3)
-        ).reshape(out.shape)
+        )
+        del _unused_out3
 
         out = FeatureFusionBlock(feats, dtype=dt, name="refinenet2")(
             out, rn[1], size=rn[0].shape[-3:-1]
@@ -104,6 +110,7 @@ class PartHead(nn.Module):
             out_chans=feats,
             num_heads=cfg.swin_num_heads,
             window_size=cfg.window_size,
+            q_window_mode=cfg.q_window_mode,
             dtype=dt,
             name="window_cross_attention",
         )(out, pt2, pt2)

@@ -15,9 +15,12 @@ Reference quirks replicated or documented:
   window attention.
 - The reference's OCAB permutes q to NCHW *before* ``window_partition``
   (`window_sa.py:280-287`), which scrambles query windows across the channel
-  dim — a deviation from upstream HAT that happens to keep shapes legal.  We
-  implement the correct spatial window semantics (upstream HAT), since the
-  scrambled variant has no coherent spatial meaning to train toward.
+  dim — a deviation from upstream HAT that happens to keep shapes legal.
+  The released checkpoint was *trained* with that scramble, so OCAB's
+  default ``q_window_mode="reference"`` replicates it op-for-op (required
+  for converted-weight parity; see tests/test_heads.py SwinCA/PartHead
+  parity tests).  ``q_window_mode="hat"`` gives the spatially-correct
+  upstream-HAT semantics for from-scratch training.
 - ``shift_size`` is always 0 in the shipped config, so the shifted-window
   mask machinery (`window_sa.py:401-415`) is not needed at inference; we
   keep windows unshifted.
@@ -56,6 +59,31 @@ def window_reverse(windows: jax.Array, ws: int, H: int, W: int) -> jax.Array:
     x = windows.reshape(B, H // ws, W // ws, ws, ws, C)
     x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(B, H, W, C)
+
+
+def scrambled_q_partition(q: jax.Array, ws: int) -> jax.Array:
+    """The reference OCAB's q-window partition, op-for-op
+    (`window_sa.py:280-287`).
+
+    The reference permutes q to NCHW and then applies the NHWC
+    ``window_partition`` followed by a flat ``.view(-1, ws*ws, C)``: windows
+    are cut over the (C, H) dims with W acting as channels, and the final
+    reshape reinterprets the buffer.  Spatially meaningless but exactly what
+    the released checkpoint was trained with.  Requires C % ws == 0 and
+    H % ws == 0 (the reference crashes otherwise).
+
+    q: (B, H, W, C) -> (B*H*W/ws^2, ws*ws, C).
+    """
+    B, H, W, C = q.shape
+    assert C % ws == 0 and H % ws == 0, (
+        f"reference OCAB q-partition needs C({C}) and H({H}) % ws({ws}) == 0"
+    )
+    x = q.transpose(0, 3, 1, 2)  # NCHW, as the reference's permute(0,3,1,2)
+    # reference window_partition applied verbatim to the NCHW tensor:
+    x = x.reshape(B, C // ws, ws, H // ws, ws, W)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, W)
+    # reference's final flat view(-1, ws*ws, C) buffer reinterpretation
+    return x.reshape(-1, ws * ws, C)
 
 
 def extract_overlapping_windows(x: jax.Array, ws: int, ows: int) -> jax.Array:
@@ -235,6 +263,10 @@ class OCAB(nn.Module):
     ows x ows windows of k/v (ows = ws + ws*overlap_ratio), with a learned
     relative-position bias.  All three inputs share one pre-norm, matching
     the reference's reuse of ``norm1`` (`window_sa.py:276-278`).
+
+    ``q_window_mode``: "reference" (default) replicates the checkpoint's
+    channel-scrambled q partition (`window_sa.py:280-287`); "hat" uses the
+    spatially-correct upstream-HAT partition.
     """
 
     dim: int
@@ -242,6 +274,7 @@ class OCAB(nn.Module):
     window_size: int = 8
     overlap_ratio: float = 0.5
     mlp_ratio: float = 2.0
+    q_window_mode: str = "reference"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -266,7 +299,10 @@ class OCAB(nn.Module):
         vv, _ = _pad_to_multiple(vv, ws)
         Hp, Wp = q.shape[1], q.shape[2]
 
-        qw = window_partition(q, ws)                       # (BN, ws*ws, C)
+        if self.q_window_mode == "reference":
+            qw = scrambled_q_partition(q, ws)              # (BN, ws*ws, C)
+        else:
+            qw = window_partition(q, ws)                   # (BN, ws*ws, C)
         kw = extract_overlapping_windows(kk, ws, ows)      # (BN, ows*ows, C)
         vw = extract_overlapping_windows(vv, ws, ows)
 
@@ -346,6 +382,7 @@ class SwinCA(nn.Module):
     # SwinCA passes its own default mlp_ratio=4 down to OCAB
     # (`window_sa.py:448,484`), overriding OCAB's standalone default of 2.
     mlp_ratio: float = 4.0
+    q_window_mode: str = "reference"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -365,6 +402,7 @@ class SwinCA(nn.Module):
             self.window_size,
             self.overlap_ratio,
             self.mlp_ratio,
+            q_window_mode=self.q_window_mode,
             dtype=self.dtype,
             name="atten_block",
         )(embed(x), embed(k), embed(v))

@@ -242,18 +242,97 @@ def test_overlapping_windows_match_torch_unfold(ref):
     np.testing.assert_allclose(mine, theirs, rtol=1e-6, atol=1e-6)
 
 
-def test_swin_ca_shapes():
-    """SwinCA output shape/finiteness (numeric parity is impossible: the
-    reference OCAB scrambles q windows through a channel-dim partition,
-    `window_sa.py:280-287`; we implement the correct HAT semantics)."""
+def test_swin_ca_parity(ref):
+    """SwinCA/OCAB numeric parity with converted weights, including the
+    reference's channel-scrambled q-window partition
+    (`window_sa.py:280-287`) which ``q_window_mode="reference"`` (the
+    default) replicates op-for-op."""
+    import torch
+    from iggt.heads.window_sa import SwinCA as TSwinCA
+
+    rng = np.random.default_rng(4)
+    torch.manual_seed(4)
+    t = TSwinCA(
+        img_size=64, out_chans=32, embed_dim=32, num_heads=4, window_size=8
+    ).eval()
+
+    x = rng.normal(0, 1, (2, 16, 24, 32)).astype(np.float32)
+    kv = rng.normal(0, 1, (2, 16, 24, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = t(
+            torch.from_numpy(x), torch.from_numpy(kv), torch.from_numpy(kv)
+        ).numpy()
+
+    out = SwinCA(embed_dim=32, out_chans=32, num_heads=4, window_size=8).apply(
+        {"params": _convert(t)}, jnp.asarray(x), jnp.asarray(kv), jnp.asarray(kv)
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-4, atol=2e-5)
+
+
+def test_swin_ca_hat_mode_shapes():
+    """The spatially-correct upstream-HAT q partition stays available for
+    from-scratch training (``q_window_mode="hat"``)."""
     rng = np.random.default_rng(6)
     x = rng.normal(0, 1, (2, 16, 24, 32)).astype(np.float32)
     kv = rng.normal(0, 1, (2, 16, 24, 32)).astype(np.float32)
-    mod = SwinCA(embed_dim=32, out_chans=32, num_heads=4, window_size=8)
+    mod = SwinCA(
+        embed_dim=32, out_chans=32, num_heads=4, window_size=8,
+        q_window_mode="hat",
+    )
     params = mod.init(jax.random.PRNGKey(0), x, kv, kv)
     out = mod.apply(params, jnp.asarray(x), jnp.asarray(kv), jnp.asarray(kv))
     assert out.shape == (2, 16, 24, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_part_head_parity(ref):
+    """End-to-end PartHead numeric parity with converted torch weights
+    (ref `part_head.py:102-243`), covering the OCAB scramble AND the
+    dead-code quirk at `part_head.py:178-185` (cross_attention_1's output
+    is computed but never consumed by refinenet2)."""
+    import torch
+    from iggt.heads.part_head import PartHead as TPartHead
+
+    rng = np.random.default_rng(7)
+    torch.manual_seed(7)
+    t = TPartHead(
+        dim_in=64, output_dim=8, features=64, out_channels=[64, 64, 64, 64]
+    ).eval()
+
+    B, S, H, W = 1, 2, 112, 112
+    ph, pw = H // 14, W // 14  # 8x8
+    proj = [
+        rng.normal(0, 1, (B * S, 64, ph * m, pw * m)).astype(np.float32)
+        for m in (4, 2, 1)
+    ] + [rng.normal(0, 1, (B * S, 64, ph // 2, pw // 2)).astype(np.float32)]
+    pts = [
+        rng.normal(0, 1, (B * S, 64, ph * m, pw * m)).astype(np.float32)
+        for m in (4, 2, 1)
+    ]
+    images = np.zeros((B, S, 3, H, W), np.float32)
+    with torch.no_grad():
+        ref_out = t(
+            [torch.from_numpy(p) for p in proj],
+            torch.from_numpy(images),
+            5,
+            frames_chunk_size=None,
+            point_feature=[torch.from_numpy(p) for p in pts],
+        ).numpy()
+
+    cfg = PartHeadConfig(dim_in=64, features=64, window_size=8)
+    out = PartHead(cfg).apply(
+        {"params": _convert(t)},
+        [jnp.asarray(p.transpose(0, 2, 3, 1)) for p in proj],
+        [jnp.asarray(p.transpose(0, 2, 3, 1)) for p in pts],
+        (H, W),
+        (B, S),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out),
+        ref_out.transpose(0, 1, 3, 4, 2),
+        rtol=2e-4,
+        atol=2e-5,
+    )
 
 
 def test_part_head_shapes():
