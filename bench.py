@@ -2,7 +2,14 @@
 
 Measures views/sec for the BASELINE.json operating point — an 8-view scene
 at 518 px, bf16 trunk + fp32 heads, full ViT-L/14 model — and prints ONE
-JSON line:  {"metric", "value", "unit", "vs_baseline"}.
+JSON line:  {"metric", "value", "unit", "vs_baseline", "extra"}.
+
+``extra.p50_scene_latency_s`` is the second BASELINE.json metric: median
+end-to-end scene time (image load -> forward -> pose decode/unprojection ->
+KNN smoothing -> clustering) over repeated runs of the demo1 scene at the
+reference demo operating point (504x336), via the real app pipeline
+(`app/demo.py` IGGTProcessor, random weights — latency is weight-agnostic
+except for clustering, which is bounded by the subsample budget).
 
 The reference repo publishes no numbers (BASELINE.md), so ``vs_baseline``
 is measured against a locally recorded anchor: the first run writes
@@ -90,6 +97,8 @@ def main() -> None:
                 f,
             )
 
+    p50 = scene_latency_p50()
+
     print(
         json.dumps(
             {
@@ -97,9 +106,31 @@ def main() -> None:
                 "value": round(views_per_sec, 4),
                 "unit": "views/s",
                 "vs_baseline": round(views_per_sec / anchor, 4),
+                "extra": {"p50_scene_latency_s": p50},
             }
         )
     )
+
+
+def scene_latency_p50(runs: int = 5):
+    """Median end-to-end scene latency on the demo1 scene (s), or None if
+    the scene images are unavailable."""
+    scene = "/root/reference/iggt_demo/demo1"
+    if not os.path.isdir(os.path.join(scene, "images")):
+        return None
+    import statistics
+
+    from iggt_official_tpu.app.demo import IGGTProcessor
+
+    proc = IGGTProcessor()  # random weights; latency is weight-agnostic
+    # warmup compiles the scene-shaped forward + postproc kernels
+    proc._post_process(proc._run_inference(scene))
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        proc._post_process(proc._run_inference(scene))
+        times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 3)
 
 
 if __name__ == "__main__":

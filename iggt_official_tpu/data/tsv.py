@@ -135,7 +135,10 @@ def list_tsv_shards(
         if not name.endswith(".tsv"):
             continue
         num = _shard_number(name)
-        if num is None or start <= num < end:
+        # only numbered shards participate in range partitioning; an
+        # unnumbered tsv would otherwise be loaded by EVERY subset worker,
+        # duplicating its samples across a partitioned run
+        if num is not None and start <= num < end:
             names.append(os.path.join(root, name))
     return names
 
@@ -205,6 +208,12 @@ class SA1BDataset:
             [a["point_coords"][0] for a in annos], np.float32
         ).reshape(-1, 2)
 
+        # per-instance point prompt as a +/-3px box built in ORIGINAL image
+        # coordinates and mapped through the same flip/resize/crop pipeline
+        # as gt boxes (`sa1b_image.py:372-373` + detectron2 apply_box), so
+        # the box side scales with ResizeScale and flips swap corners
+        point_boxes = np.concatenate([points - 3.0, points + 3.0], axis=1)
+
         flip = (
             self.random_flip == "horizontal"
             and self.is_train
@@ -213,7 +222,16 @@ class SA1BDataset:
         if flip:
             image = image[:, ::-1]
             masks = masks[:, :, ::-1]
-            points[:, 0] = w - 1 - points[:, 0]
+            # HFlipTransform.apply_box: corners map x -> w - x and swap
+            point_boxes = np.stack(
+                [
+                    w - point_boxes[:, 2],
+                    point_boxes[:, 1],
+                    w - point_boxes[:, 0],
+                    point_boxes[:, 3],
+                ],
+                axis=1,
+            ) if len(point_boxes) else point_boxes
 
         nh, nw = (
             self._resize_scale_params(h, w)
@@ -224,10 +242,14 @@ class SA1BDataset:
             (nw, nh), PIL.Image.Resampling.BILINEAR
         )
         image = np.asarray(pil, np.uint8)
-        ys = np.clip((np.arange(nh) * h / nh).astype(int), 0, h - 1)
-        xs = np.clip((np.arange(nw) * w / nw).astype(int), 0, w - 1)
+        # center-aligned nearest sampling, matching detectron2's
+        # apply_segmentation (PIL NEAREST) instead of top-left alignment
+        ys = np.clip(((np.arange(nh) + 0.5) * h / nh).astype(int), 0, h - 1)
+        xs = np.clip(((np.arange(nw) + 0.5) * w / nw).astype(int), 0, w - 1)
         masks = masks[:, ys][:, :, xs] if len(masks) else masks.reshape(0, nh, nw)
-        points = points * np.array([nw / w, nh / h], np.float32)
+        point_boxes = point_boxes * np.array(
+            [nw / w, nh / h, nw / w, nh / h], np.float32
+        )
 
         # FixedSizeCrop: random crop when larger, zero-pad when smaller;
         # padding_mask marks padded pixels (`sa1b_image.py:334-338`)
@@ -236,7 +258,7 @@ class SA1BDataset:
         x0 = int(self.rng.integers(0, max(1, nw - size + 1))) if nw > size else 0
         image = image[y0 : y0 + size, x0 : x0 + size]
         masks = masks[:, y0 : y0 + size, x0 : x0 + size]
-        points = points - np.array([x0, y0], np.float32)
+        point_boxes = point_boxes - np.array([x0, y0, x0, y0], np.float32)
         ch, cw = image.shape[:2]
         out_img = np.zeros((size, size, 3), np.uint8)
         out_img[:ch, :cw] = image
@@ -248,10 +270,8 @@ class SA1BDataset:
         # drop instances emptied by the crop (`filter_empty_instances`)
         keep = out_masks.reshape(len(out_masks), -1).any(-1)
         out_masks = out_masks[keep]
-        points = points[keep]
+        point_boxes = point_boxes[keep]
         boxes = masks_to_boxes(out_masks)
-        # per-instance point prompt as a +/-3px box (`sa1b_image.py:372`)
-        point_boxes = np.concatenate([points - 3.0, points + 3.0], axis=1)
 
         img_f = out_img.astype(np.float32) / 255.0
         return {

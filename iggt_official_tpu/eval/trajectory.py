@@ -127,6 +127,109 @@ def load_trajectory_tum_format(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return poses, ts
 
 
+def sintel_cam_read(filename: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Sintel `.cam` file -> (intrinsic M (3,3), extrinsic N (3,4) w2c)
+    (`vo_eval.py:22-42`): float32 magic tag 202021.25, then 9 float64
+    intrinsics and 12 float64 extrinsics."""
+    TAG_FLOAT = 202021.25
+    with open(filename, "rb") as f:
+        check = np.fromfile(f, dtype=np.float32, count=1)[0]
+        assert check == TAG_FLOAT, (
+            f"cam_read: wrong tag (should be {TAG_FLOAT}, is {check})"
+        )
+        M = np.fromfile(f, dtype="float64", count=9).reshape(3, 3)
+        N = np.fromfile(f, dtype="float64", count=12).reshape(3, 4)
+    return M, N
+
+
+def load_sintel_traj(cam_dir: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Directory of Sintel `.cam` files -> (poses c2w (N, 4, 4),
+    timestamps (N,)) (`vo_eval.py:74-101`): extrinsics are w2c and get
+    inverted; positions are mean-centred like the reference."""
+    import os
+
+    names = sorted(n for n in os.listdir(cam_dir) if n.endswith(".cam"))
+    assert names, f"no .cam files under {cam_dir}"
+    tstamps = np.array(
+        [float(n[:-4].split("_")[-1]) for n in names], np.float64
+    )
+    poses = []
+    for n in names:
+        _, N = sintel_cam_read(os.path.join(cam_dir, n))
+        w2c = np.concatenate([N, [[0, 0, 0, 1]]], 0)
+        poses.append(np.linalg.inv(w2c))
+    poses = np.stack(poses)
+    poses[:, :3, 3] -= poses[:, :3, 3].mean(0, keepdims=True)
+    return poses, tstamps
+
+
+def load_replica_traj(gt_file: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Replica `traj.txt`: one row-major 3x4 or 4x4 c2w pose per line
+    (`vo_eval.py:45-72`) -> (poses (N, 4, 4), timestamps = frame index)."""
+    rows = np.loadtxt(gt_file)
+    rows = np.atleast_2d(rows)
+    assert rows.shape[1] in (12, 16), rows.shape
+    poses = np.tile(np.eye(4), (len(rows), 1, 1))
+    poses[:, :3, :4] = rows[:, :12].reshape(-1, 3, 4)
+    return poses, np.arange(len(rows), dtype=np.float64)
+
+
+def load_traj(
+    gt_traj_file: str,
+    traj_format: str = "sintel",
+    skip: int = 0,
+    stride: int = 1,
+    num_frames: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Unified GT loader (`vo_eval.py:104-127`) -> (poses c2w (N, 4, 4),
+    timestamps (N,)).  Formats: sintel (`.cam` dir), replica (traj txt),
+    tum / tartanair (TUM `ts tx ty tz qx qy qz qw` rows)."""
+    if traj_format == "replica":
+        poses, ts = load_replica_traj(gt_traj_file)
+    elif traj_format == "sintel":
+        poses, ts = load_sintel_traj(gt_traj_file)
+    elif traj_format in ("tum", "tartanair"):
+        poses, ts = load_trajectory_tum_format(gt_traj_file)
+    else:
+        raise NotImplementedError(traj_format)
+    poses = poses[skip::stride]
+    ts = ts[skip::stride]
+    if num_frames is not None:
+        poses = poses[:num_frames]
+        ts = ts[:num_frames]
+    return poses, ts
+
+
+def load_timestamps(time_file: str, traj_format: str = "tum"):
+    """TUM/TartanAir timestamp sidecar files (`vo_eval.py:143-151`)."""
+    if traj_format in ("tum", "tartanair"):
+        with open(time_file) as f:
+            return [
+                float(x.split(" ")[0])
+                for x in f.readlines()
+                if not x.startswith("#")
+            ]
+    return None
+
+
+def update_timestamps(
+    gt_file: str, traj_format: str, skip: int = 0, stride: int = 1
+):
+    """Timestamps from the rgb.txt / times.txt next to the GT file
+    (`vo_eval.py:130-141`)."""
+    if traj_format == "tum":
+        ts = load_timestamps(
+            gt_file.replace("groundtruth.txt", "rgb.txt"), traj_format
+        )
+    elif traj_format == "tartanair":
+        ts = load_timestamps(
+            gt_file.replace("gt_pose.txt", "times.txt"), traj_format
+        )
+    else:
+        return None
+    return None if ts is None else ts[skip::stride]
+
+
 def plot_trajectory(
     pred_se3: np.ndarray,
     gt_se3: Optional[np.ndarray] = None,

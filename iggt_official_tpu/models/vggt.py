@@ -140,6 +140,7 @@ class VGGT(nn.Module):
         remat: bool = False,
         shard_fn: Optional[Callable] = None,
         global_merge_r: int = 0,
+        feat_only: bool = False,
     ) -> Dict[str, jax.Array]:
         cfg = self.cfg
         B, S, H, W, _ = images.shape
@@ -152,7 +153,23 @@ class VGGT(nn.Module):
         # tokens stay in trunk dtype (bf16) in HBM; heads upcast to fp32 at
         # their entry (`vggt.py:189` equivalent)
 
-        preds: Dict[str, jax.Array] = {}
+        if feat_only:
+            # feature-only pass (`vggt.py:97-130` `forward_feat`): the last
+            # aggregated token map plus the raw depth/point head outputs —
+            # no camera refinement, no tracking
+            preds: Dict[str, jax.Array] = {"cam_token": tokens_list[-1]}
+            preds["depth"] = _apply_dpt_chunked(
+                cfg.depth_head, "depth_head", tokens_list, (H, W),
+                patch_start_idx, dtype=_dtype(cfg.head_dtype)
+            )
+            preds["point"] = _apply_dpt_chunked(
+                cfg.point_head, "point_head", tokens_list, (H, W),
+                patch_start_idx, dtype=_dtype(cfg.head_dtype)
+            )
+            preds["images"] = images
+            return preds
+
+        preds = {}
         if cfg.enable_camera:
             pose_list = CameraHead(cfg.camera, name="camera_head")(tokens_list[-1])
             preds["pose_enc"] = pose_list[-1]

@@ -7,17 +7,19 @@ Behavioural parity: `iggt/utils/misc.py:81-269`:
   colormap with per-label colors consistent across views.
 - ``cluster_features_to_masks``: per-view variant (kmeans | dbscan).
 
-TPU/host split (the reference needs cuml's GPU HDBSCAN, `misc.py:19-22`):
-density clustering is irregular, so the heavy O(pixels) work is compressed
-ON DEVICE first — features are quantized to eps/2 grid cells and reduced to
-unique cells with counts (~50-200x compression) — and a first-party
-weighted DBSCAN (union-find over radius neighbourhoods) runs on the host
-over cells only.  DBSCAN(eps) approximates the reference's
-HDBSCAN(cluster_selection_epsilon=eps, min_samples, min_cluster_size):
-both select eps-radius density-connected components and drop clusters
-below min_cluster_size; the tree-based noise handling differs, but noise
-pixels are 1-NN-reassigned afterwards in both pipelines, which absorbs
-most of the boundary difference.
+Host split (the reference needs cuml's GPU HDBSCAN, `misc.py:19-22`):
+density clustering is irregular, so it runs on the host as a first-party
+**weighted HDBSCAN**: weighted core distances -> mutual-reachability kNN
+graph -> MST -> weighted single linkage -> condensed tree
+(min_cluster_size) -> excess-of-mass selection with
+``cluster_selection_epsilon`` and ``allow_single_cluster=False`` — the
+actual HDBSCAN algorithm (Campello et al.; epsilon rule per Malzer & Baum
+2019) generalized so a point of weight m acts as m coincident points.
+Above 150k pixels the pipeline clusters a uniform subsample with
+density-scaled parameters and 1-NN-assigns the rest (the same mechanism
+the reference uses for noise pixels).  Fidelity vs sklearn's HDBSCAN on
+raw pixels is measured in tests/test_cluster_fidelity.py
+(Hungarian-matched mIoU).
 """
 
 from __future__ import annotations
@@ -44,8 +46,30 @@ def _quantize_cells(flat: np.ndarray, cell: float):
     return centers, counts.astype(np.int64), pix2cell
 
 
+def _accelerator_available() -> bool:
+    """True when the default jax device is a real accelerator (the brute
+    kNN blocks only pay off on the MXU; the single-core CPU backend is far
+    slower than a host KD-tree)."""
+    try:
+        import jax
+
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            return dev.platform != "cpu"
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover - jax always importable here
+        return False
+
+
 def _nn1(ref: np.ndarray, query: np.ndarray) -> np.ndarray:
-    """Index of nearest ``ref`` point per query (native KD-tree when built)."""
+    """Index of nearest ``ref`` point per query.
+
+    Large queries run as brute-force blocks on the accelerator (MXU);
+    small ones use the native C++ KD-tree / sklearn."""
+    if ref.shape[0] * query.shape[0] >= 1_000_000 and _accelerator_available():
+        from iggt_official_tpu.ops.knn import brute_knn
+
+        return brute_knn(ref, query, 1)[1][:, 0]
     from iggt_official_tpu import native
 
     if native.available():
@@ -55,6 +79,18 @@ def _nn1(ref: np.ndarray, query: np.ndarray) -> np.ndarray:
     nn = NearestNeighbors(n_neighbors=1).fit(ref)
     _, j = nn.kneighbors(query)
     return j[:, 0]
+
+
+def _knn(points: np.ndarray, k: int):
+    """(dist, idx) of the k nearest points (self included), accelerator
+    brute force for large inputs, host KD-tree below that."""
+    if points.shape[0] ** 2 >= 4_000_000 and _accelerator_available():
+        from iggt_official_tpu.ops.knn import brute_knn
+
+        return brute_knn(points, points, k)
+    from sklearn.neighbors import NearestNeighbors
+
+    return NearestNeighbors(n_neighbors=k).fit(points).kneighbors(points)
 
 
 class _UnionFind:
@@ -128,6 +164,295 @@ def weighted_dbscan(
     return labels
 
 
+def _weighted_core_distances(
+    points: np.ndarray, weights: np.ndarray, min_samples: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-cell core distance treating a cell of weight m as m coincident
+    points: the smallest radius whose cumulative weight >= min_samples.
+
+    Returns (core (K,), knn_dist (K, k), knn_idx (K, k)) — the kNN arrays
+    are reused for the mutual-reachability graph.
+    """
+    K = points.shape[0]
+    # wide enough for the reachability graph too: missing kNN edges can
+    # only inflate MST merge heights (over-splitting), so keep >= 64
+    k = min(K, max(64, min_samples + 1))
+    dist, idx = _knn(points, k)
+    while True:
+        cumw = np.cumsum(weights[idx], axis=1)
+        short = cumw[:, -1] < min_samples
+        if not short.any() or k >= K:
+            break
+        k = min(K, k * 4)
+        dist, idx = _knn(points, k)
+    # first column of idx is the point itself (distance 0)
+    pos = np.argmax(cumw >= min_samples, axis=1)
+    core = dist[np.arange(K), pos]
+    core[cumw[:, -1] < min_samples] = np.inf  # total weight < min_samples
+    return core, dist, idx
+
+
+def _weighted_single_linkage(
+    points: np.ndarray,
+    weights: np.ndarray,
+    core: np.ndarray,
+    knn_dist: np.ndarray,
+    knn_idx: np.ndarray,
+) -> np.ndarray:
+    """Single-linkage dendrogram over the mutual-reachability kNN graph.
+
+    Returns linkage Z (K-1, 4): [left, right, distance, weighted size],
+    node ids like scipy (leaves 0..K-1, merge i -> K+i).  Disconnected
+    components are joined by +inf edges (they never truly merge; the
+    condensed tree treats the inf-distance root splits as lambda=0).
+    """
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import minimum_spanning_tree
+
+    K = points.shape[0]
+    src = np.repeat(np.arange(K), knn_idx.shape[1])
+    dst = knn_idx.reshape(-1)
+    d = knn_dist.reshape(-1)
+    mreach = np.maximum(d, np.maximum(core[src], core[dst]))
+    keep = src != dst
+    finite = np.isfinite(mreach)
+    sel = keep & finite
+    graph = coo_matrix(
+        (mreach[sel], (src[sel], dst[sel])), shape=(K, K)
+    ).tocsr()
+    mst = minimum_spanning_tree(graph).tocoo()
+    edges = list(zip(mst.data, mst.row, mst.col))
+
+    # join remaining components (and isolated/inf-core cells) at +inf
+    uf = _UnionFind(K)
+    for _, a, b in edges:
+        uf.union(int(a), int(b))
+    rep = sorted({uf.find(i) for i in range(K)})
+    for other in rep[1:]:
+        edges.append((np.inf, rep[0], other))
+
+    edges.sort(key=lambda e: e[0])
+    Z = np.zeros((K - 1, 4))
+    uf2 = _UnionFind(2 * K - 1)
+    comp_node = np.arange(K)  # union-find root -> current dendrogram node
+    sizes = np.concatenate([weights.astype(np.float64), np.zeros(K - 1)])
+    nxt = K
+    for dist_e, a, b in edges:
+        ra, rb = uf2.find(int(a)), uf2.find(int(b))
+        if ra == rb:
+            continue
+        na, nb = comp_node[ra], comp_node[rb]
+        Z[nxt - K] = (na, nb, dist_e, sizes[na] + sizes[nb])
+        sizes[nxt] = sizes[na] + sizes[nb]
+        uf2.union(ra, rb)
+        comp_node[uf2.find(ra)] = nxt
+        nxt += 1
+    assert nxt == 2 * K - 1, "MST did not span all cells"
+    return Z
+
+
+def weighted_hdbscan(
+    points: np.ndarray,
+    weights: np.ndarray,
+    eps: float,
+    min_samples: int,
+    min_cluster_size: int,
+    allow_single_cluster: bool = False,
+) -> np.ndarray:
+    """HDBSCAN(cluster_selection_epsilon=eps) over weighted points.
+
+    The real algorithm — condensed tree + excess-of-mass selection with the
+    Malzer-Baum epsilon rule — with every count treated as point
+    multiplicity, replacing cuml/hdbscan (`iggt/utils/misc.py:124-129`).
+    Returns labels (K,), -1 = noise.
+    """
+    K = points.shape[0]
+    if K == 1:
+        return np.zeros(1, np.int64) if weights[0] >= min_cluster_size else np.full(1, -1, np.int64)
+    core, knn_dist, knn_idx = _weighted_core_distances(
+        points, weights, min_samples
+    )
+    Z = _weighted_single_linkage(points, weights, core, knn_dist, knn_idx)
+
+    # --- condensed tree (top-down), weighted min_cluster_size ---------
+    # Arrays indexed by condensed-cluster id:
+    #   parent_c, lam_birth (1/dist of the split that created it)
+    # Per-point fallout: (point, cluster, lambda).
+    n_nodes = 2 * K - 1
+    left = Z[:, 0].astype(np.int64)
+    right = Z[:, 1].astype(np.int64)
+    zdist = Z[:, 2]
+    wsize = np.concatenate([weights.astype(np.float64), Z[:, 3]])
+
+    def lam(d):
+        if d <= 0:
+            return np.inf
+        if not np.isfinite(d):
+            return 0.0
+        return 1.0 / d
+
+    parent_c: list = [-1]
+    lam_birth: list = [0.0]
+    fall_point: list = []
+    fall_cluster: list = []
+    fall_lam: list = []
+    # stack of (dendrogram node, condensed cluster id)
+    stack = [(n_nodes - 1, 0)]
+    while stack:
+        node, cl = stack.pop()
+        if node < K:
+            fall_point.append(node)
+            fall_cluster.append(cl)
+            # leaves of the current cluster fall out when the cluster
+            # fully dissolves; use the core distance as the leaf's death
+            fall_lam.append(lam(max(core[node], 0.0)))
+            continue
+        i = node - K
+        l, r, d = left[i], right[i], zdist[i]
+        ld = lam(d)
+        wl, wr = wsize[l], wsize[r]
+        big_l, big_r = wl >= min_cluster_size, wr >= min_cluster_size
+        if big_l and big_r:
+            cl_l = len(parent_c)
+            parent_c.append(cl)
+            lam_birth.append(ld)
+            cl_r = len(parent_c)
+            parent_c.append(cl)
+            lam_birth.append(ld)
+            stack.append((l, cl_l))
+            stack.append((r, cl_r))
+        elif big_l or big_r:
+            big, small = (l, r) if big_l else (r, l)
+            # small side's points fall out of `cl` at this lambda
+            sub = [small]
+            while sub:
+                s = sub.pop()
+                if s < K:
+                    fall_point.append(s)
+                    fall_cluster.append(cl)
+                    fall_lam.append(ld)
+                else:
+                    sub.append(left[s - K])
+                    sub.append(right[s - K])
+            stack.append((big, cl))
+        else:
+            # both sides below min_cluster_size: everything falls out
+            sub = [l, r]
+            while sub:
+                s = sub.pop()
+                if s < K:
+                    fall_point.append(s)
+                    fall_cluster.append(cl)
+                    fall_lam.append(ld)
+                else:
+                    sub.append(left[s - K])
+                    sub.append(right[s - K])
+
+    parent_arr = np.asarray(parent_c)
+    birth = np.asarray(lam_birth)
+    fp = np.asarray(fall_point)
+    fc = np.asarray(fall_cluster)
+    fl = np.asarray(fall_lam)
+    n_cl = len(parent_c)
+
+    # --- stability ----------------------------------------------------
+    stab = np.zeros(n_cl)
+    w_f = weights[fp].astype(np.float64)
+    # points contribute (lambda_leave - lambda_birth) * weight; infinite
+    # leave-lambdas (duplicate points, zero distances) are capped at the
+    # max finite lambda in the tree to keep stabilities comparable
+    finite_max = (
+        np.max(fl[np.isfinite(fl)]) if np.isfinite(fl).any() else 1.0
+    )
+    fl_use = np.where(np.isfinite(fl), fl, finite_max)
+    np.add.at(stab, fc, w_f * (fl_use - birth[fc]))
+    # child clusters contribute (their birth - parent birth) * their mass
+    child_mass = np.zeros(n_cl)
+    np.add.at(child_mass, fc, w_f)
+    total_mass = child_mass.copy()
+    for c in range(n_cl - 1, 0, -1):
+        total_mass[parent_arr[c]] += total_mass[c]
+    for c in range(1, n_cl):
+        p = parent_arr[c]
+        stab[p] += total_mass[c] * (birth[c] - birth[p])
+
+    # --- excess-of-mass selection ------------------------------------
+    children: list = [[] for _ in range(n_cl)]
+    for c in range(1, n_cl):
+        children[parent_arr[c]].append(c)
+    selected = np.zeros(n_cl, bool)
+    subtree_stab = np.zeros(n_cl)
+    for c in range(n_cl - 1, -1, -1):
+        if not children[c]:
+            selected[c] = True
+            subtree_stab[c] = stab[c]
+            continue
+        child_sum = sum(subtree_stab[ch] for ch in children[c])
+        if stab[c] > child_sum and (c != 0 or allow_single_cluster):
+            selected[c] = True
+            # deselect all descendants
+            sub = list(children[c])
+            while sub:
+                s = sub.pop()
+                selected[s] = False
+                sub.extend(children[s])
+            subtree_stab[c] = stab[c]
+        else:
+            subtree_stab[c] = child_sum
+    if not allow_single_cluster:
+        selected[0] = False
+
+    # --- cluster_selection_epsilon (Malzer-Baum 2019) -----------------
+    # A selected cluster whose birth distance (1/birth-lambda) < eps is
+    # replaced by its first ancestor with birth distance >= eps.
+    if eps and eps > 0:
+        for c in np.flatnonzero(selected):
+            birth_dist = np.inf if birth[c] == 0 else 1.0 / birth[c]
+            if birth_dist >= eps:
+                continue
+            anc = c
+            while anc != 0:
+                p = parent_arr[anc]
+                p_birth_dist = np.inf if birth[p] == 0 else 1.0 / birth[p]
+                anc = p
+                if p_birth_dist >= eps:
+                    break
+            if anc == 0 and not allow_single_cluster:
+                # epsilon merge would reach the root: keep climbing to the
+                # highest non-root ancestor instead
+                anc = c
+                while parent_arr[anc] != 0:
+                    anc = parent_arr[anc]
+            selected[c] = False
+            selected[anc] = True
+        # re-deselect descendants of selected clusters
+        for c in np.flatnonzero(selected):
+            sub = list(children[c])
+            while sub:
+                s = sub.pop()
+                if selected[s]:
+                    selected[s] = False
+                sub.extend(children[s])
+
+    # --- labels -------------------------------------------------------
+    # nearest selected ancestor (incl. the fallout cluster itself)
+    sel_anc = np.full(n_cl, -1, np.int64)
+    order = np.arange(n_cl)
+    for c in order:  # parents come before children (construction order)
+        if selected[c]:
+            sel_anc[c] = c
+        elif parent_arr[c] >= 0:
+            sel_anc[c] = sel_anc[parent_arr[c]]
+    labels = np.full(K, -1, np.int64)
+    lab_of = sel_anc[fc]
+    labels[fp] = lab_of
+    kept = np.unique(labels[labels >= 0])
+    remap = np.full(n_cl, -1, np.int64)
+    remap[kept] = np.arange(len(kept))
+    labels[labels >= 0] = remap[labels[labels >= 0]]
+    return labels
+
+
 def cluster_features_to_masks_mv(
     feature_map: np.ndarray,
     apply_colormap: bool = False,
@@ -140,47 +465,46 @@ def cluster_features_to_masks_mv(
     feature_map = np.asarray(feature_map)
     n, h, w, c = feature_map.shape
     flat = feature_map.reshape(-1, c).astype(np.float32)
+    M = flat.shape[0]
 
-    centers, counts, pix2cell = _quantize_cells(flat, cell=eps / 2.0)
+    # Workload bound: grid quantization compresses poorly in 8-D, so large
+    # inputs are handled by HDBSCAN-on-a-uniform-subsample with the density
+    # parameters scaled by the sampling rate (uniform thinning at rate r
+    # scales every neighbourhood count by r, preserving the density
+    # hierarchy in expectation); non-sampled pixels are 1-NN-assigned —
+    # the same mechanism the reference already uses for noise pixels.
+    budget = 150_000
+    if M > budget:
+        rng = np.random.default_rng(0)
+        sample_idx = rng.choice(M, budget, replace=False)
+        rate = budget / M
+        pts = flat[sample_idx]
+        ms = max(2, int(round(min_samples * rate)))
+        mcs = max(2, int(round(min_cluster_size * rate)))
+    else:
+        sample_idx = None
+        pts = flat
+        ms, mcs = min_samples, min_cluster_size
+    weights = np.ones(pts.shape[0], np.float64)
 
-    # degenerate inputs (e.g. untrained features) can quantize to ~1 cell
-    # per pixel; bound the DBSCAN workload by keeping the heaviest cells and
-    # folding the rest onto their nearest kept cell
-    max_cells = 200_000
-    if centers.shape[0] > max_cells:
-        keep = np.argsort(counts)[::-1][:max_cells]
-        old2new = _nn1(centers[keep], centers)
-        new_counts = np.zeros(max_cells, np.int64)
-        np.add.at(new_counts, old2new, counts)
-        pix2cell = old2new[pix2cell]
-        centers, counts = centers[keep], new_counts
+    labels = weighted_hdbscan(pts, weights, eps, ms, mcs)
 
-    cell_labels = weighted_dbscan(centers, counts, eps, min_samples)
-
-    # drop clusters below min_cluster_size (pixel-weighted)
-    if cell_labels.max() >= 0:
-        sizes = np.zeros(cell_labels.max() + 1, np.int64)
-        for lbl in range(sizes.shape[0]):
-            sizes[lbl] = counts[cell_labels == lbl].sum()
-        small = np.flatnonzero(sizes < min_cluster_size)
-        cell_labels[np.isin(cell_labels, small)] = -1
-        # re-densify label ids
-        kept = np.unique(cell_labels[cell_labels >= 0])
-        remap = {old: new for new, old in enumerate(kept)}
-        cell_labels = np.array(
-            [remap.get(l, -1) for l in cell_labels], np.int64
-        )
-
-    # noise -> 1-NN clustered cell (`misc.py:135-148`)
-    noise = cell_labels == -1
+    # noise -> 1-NN clustered pixel (`misc.py:135-148`)
+    noise = labels == -1
     if noise.all():
-        cell_labels[:] = 0
+        labels[:] = 0
     elif noise.any():
-        cell_labels[noise] = cell_labels[~noise][
-            _nn1(centers[~noise], centers[noise])
-        ]
+        labels[noise] = labels[~noise][_nn1(pts[~noise], pts[noise])]
 
-    masks = cell_labels[pix2cell].reshape(n, h, w)
+    if sample_idx is None:
+        masks = labels.reshape(n, h, w)
+    else:
+        all_labels = np.empty(M, np.int64)
+        all_labels[sample_idx] = labels
+        rest = np.ones(M, bool)
+        rest[sample_idx] = False
+        all_labels[rest] = labels[_nn1(pts, flat[rest])]
+        masks = all_labels.reshape(n, h, w)
     if not apply_colormap:
         return masks
     return masks, colorize_masks(masks)

@@ -470,7 +470,11 @@ def _qk_prep_xla(x, gamma, beta, cos, sin, eps):
         var = jnp.maximum(jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu, 0.0)
         x = (x - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
     if cos is not None:
-        r = x @ _rot_matrix(x.shape[-1])
+        # precision="highest" keeps the fp32 rotation exact on TPU (the
+        # default matmul precision would round through bf16), matching the
+        # concat-based rotate-half of apply_rope_2d and the fp32 island
+        # argument in ops/interpolate.py
+        r = jnp.matmul(x, _rot_matrix(x.shape[-1]), precision="highest")
         x = x * cos[..., None, :] + r * sin[..., None, :]
     return x.astype(dt)
 

@@ -122,3 +122,44 @@ def knn_smooth_features(
     nbr_idx = jnp.take_along_axis(safe, nbr, axis=1)
     smoothed = jnp.mean(fts[nbr_idx], axis=1)
     return smoothed.reshape(shape)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _knn_block(qb: jax.Array, ref: jax.Array, ref_sq: jax.Array, k: int):
+    """Exact k nearest refs for one query block (Q, C) vs (R, C)."""
+    q32 = qb.astype(jnp.float32)
+    d = (
+        jnp.sum(q32 * q32, axis=-1, keepdims=True)
+        + ref_sq[None, :]
+        - 2.0 * jnp.matmul(q32, ref.T, precision="highest")
+    )
+    neg, idx = jax.lax.top_k(-d, k)
+    return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
+
+
+def brute_knn(
+    ref: np.ndarray, query: np.ndarray, k: int, block: int = 4096
+):
+    """Exact kNN on the accelerator: chunked (Q, R) distance blocks on the
+    MXU + top_k.  Replaces host KD-tree queries for the clustering pipeline
+    (the single-core host is ~50x slower at demo scale).  Returns numpy
+    (dist (Q, k), idx (Q, k)) sorted ascending, self included when
+    query is ref.
+    """
+    ref_d = jnp.asarray(np.asarray(ref, np.float32))
+    ref_sq = jnp.sum(ref_d * ref_d, axis=-1)
+    Q = query.shape[0]
+    dists = np.empty((Q, k), np.float32)
+    idxs = np.empty((Q, k), np.int64)
+    for s in range(0, Q, block):
+        qb = np.asarray(query[s : s + block], np.float32)
+        pad = block - qb.shape[0]
+        if pad:
+            qb = np.concatenate([qb, np.zeros((pad, qb.shape[1]), np.float32)])
+        d, i = _knn_block(jnp.asarray(qb), ref_d, ref_sq, k)
+        d, i = np.asarray(d), np.asarray(i)
+        if pad:
+            d, i = d[:-pad], i[:-pad]
+        dists[s : s + block] = d
+        idxs[s : s + block] = i
+    return dists, idxs

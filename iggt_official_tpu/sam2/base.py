@@ -328,22 +328,29 @@ class SAM2Base(nn.Module):
         )
         spatial_mask = jnp.repeat(slot_valid, hw_mem)[None]   # (1, n*hw)
 
-        split = max(cfg.d_model // md, 1)
-        max_ptrs = len(obj_ptrs)
-        n_ptr_tokens = max_ptrs * split
-        ptr_tokens = jnp.stack(obj_ptrs).reshape(1, n_ptr_tokens, md)
-        if cfg.add_tpos_enc_to_obj_ptrs:
-            enc = self.obj_ptr_tpos(ptr_pos_norm)             # (max_ptrs, md)
-        else:
-            enc = jnp.zeros((max_ptrs, md), jnp.float32)
-        ptr_pos = jnp.repeat(enc, split, axis=0)[None]
-        ptr_mask = (
-            jnp.arange(n_ptr_tokens) < n_valid_ptrs * split
-        )[None]
+        if cfg.use_obj_ptrs_in_encoder:
+            split = max(cfg.d_model // md, 1)
+            max_ptrs = len(obj_ptrs)
+            n_ptr_tokens = max_ptrs * split
+            ptr_tokens = jnp.stack(obj_ptrs).reshape(1, n_ptr_tokens, md)
+            if cfg.add_tpos_enc_to_obj_ptrs:
+                enc = self.obj_ptr_tpos(ptr_pos_norm)         # (max_ptrs, md)
+            else:
+                enc = jnp.zeros((max_ptrs, md), jnp.float32)
+            ptr_pos = jnp.repeat(enc, split, axis=0)[None]
+            ptr_mask = (
+                jnp.arange(n_ptr_tokens) < n_valid_ptrs * split
+            )[None]
 
-        memory = jnp.concatenate([mem, ptr_tokens], axis=1)
-        memory_pos = jnp.concatenate([pos, ptr_pos], axis=1)
-        key_mask = jnp.concatenate([spatial_mask, ptr_mask], axis=1)
+            memory = jnp.concatenate([mem, ptr_tokens], axis=1)
+            memory_pos = jnp.concatenate([pos, ptr_pos], axis=1)
+            key_mask = jnp.concatenate([spatial_mask, ptr_mask], axis=1)
+        else:
+            # reference gates pointer tokens on use_obj_ptrs_in_encoder
+            # (`sam2_base.py:570-575`, default False): no ptr tokens in
+            # the memory bank at all
+            n_ptr_tokens = 0
+            memory, memory_pos, key_mask = mem, pos, spatial_mask
 
         fused = self.memory_attention(
             curr, memory, curr_pos, memory_pos,

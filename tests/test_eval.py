@@ -158,3 +158,116 @@ def test_pointwise_rel_ae():
     pred = np.array([[1.0, 5.0], [5.0, 1.0]])
     rel = pointwise_rel_ae(gt, pred)
     np.testing.assert_allclose(rel, [[0.5, 0.0], [0.25, 0.0]])
+
+
+def _random_c2w(rng, n):
+    from scipy.spatial.transform import Rotation
+
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, :3, :3] = Rotation.random(n, random_state=rng).as_matrix()
+    poses[:, :3, 3] = np.asarray(rng.normal(0, 2, (n, 3)))
+    return poses
+
+
+def test_sintel_cam_loader_roundtrip(tmp_path):
+    """Write Sintel-format .cam files and recover the c2w trajectory
+    (ref `vo_eval.py:22-101`)."""
+    from iggt_official_tpu.eval.trajectory import load_sintel_traj, load_traj
+
+    rng = np.random.default_rng(0)
+    n = 6
+    poses = _random_c2w(rng, n)
+    M = np.diag([500.0, 500.0, 1.0])
+    for i in range(n):
+        w2c = np.linalg.inv(poses[i])[:3]  # (3, 4)
+        with open(tmp_path / f"frame_{i:04d}.cam", "wb") as f:
+            np.array([202021.25], np.float32).tofile(f)
+            M.astype(np.float64).tofile(f)
+            w2c.astype(np.float64).tofile(f)
+    got, ts = load_sintel_traj(str(tmp_path))
+    # reference mean-centres positions
+    want = poses.copy()
+    want[:, :3, 3] -= want[:, :3, 3].mean(0, keepdims=True)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+    np.testing.assert_allclose(ts, np.arange(n, dtype=float))
+
+    got2, _ = load_traj(str(tmp_path), "sintel", skip=1, stride=2)
+    np.testing.assert_allclose(got2, want[1::2], atol=1e-10)
+
+
+def test_replica_traj_loader(tmp_path):
+    from iggt_official_tpu.eval.trajectory import load_replica_traj
+
+    rng = np.random.default_rng(1)
+    poses = _random_c2w(rng, 5)
+    # 16-column row-major 4x4 variant
+    np.savetxt(tmp_path / "traj.txt", poses.reshape(5, 16))
+    got, ts = load_replica_traj(str(tmp_path / "traj.txt"))
+    np.testing.assert_allclose(got, poses, atol=1e-10)
+    # 12-column variant
+    np.savetxt(tmp_path / "traj12.txt", poses[:, :3, :].reshape(5, 12))
+    got12, _ = load_replica_traj(str(tmp_path / "traj12.txt"))
+    np.testing.assert_allclose(got12, poses, atol=1e-10)
+
+
+def test_tum_loader_and_timestamps(tmp_path):
+    from iggt_official_tpu.eval.trajectory import (
+        load_traj,
+        save_trajectory_tum_format,
+        update_timestamps,
+    )
+
+    rng = np.random.default_rng(2)
+    poses = _random_c2w(rng, 4)
+    ts = np.array([10.0, 10.5, 11.0, 11.5])
+    save_trajectory_tum_format(poses, ts, str(tmp_path / "groundtruth.txt"))
+    got, got_ts = load_traj(str(tmp_path / "groundtruth.txt"), "tum")
+    np.testing.assert_allclose(got, poses, atol=1e-5)
+    np.testing.assert_allclose(got_ts, ts)
+
+    with open(tmp_path / "rgb.txt", "w") as f:
+        f.write("# comment line\n")
+        for t in ts:
+            f.write(f"{t} rgb/{t}.png\n")
+    up = update_timestamps(str(tmp_path / "groundtruth.txt"), "tum", stride=2)
+    np.testing.assert_allclose(up, ts[::2])
+
+
+def test_ate_rpe_numeric_crosscheck():
+    """ATE/RPE cross-check on a synthetic trajectory with a known Sim(3)
+    perturbation: an independent direct computation (no shared code) must
+    match eval_metrics (replacing the evo cross-check, evo unavailable)."""
+    from scipy.spatial.transform import Rotation
+
+    from iggt_official_tpu.eval.trajectory import eval_metrics
+
+    rng = np.random.default_rng(3)
+    n = 50
+    t = np.linspace(0, 4 * np.pi, n)
+    gt = np.tile(np.eye(4), (n, 1, 1))
+    gt[:, :3, 3] = np.stack([np.cos(t), np.sin(t), 0.1 * t], 1)
+    gt[:, :3, :3] = Rotation.from_euler("z", t[:, None]).as_matrix()
+
+    # known similarity transform + per-frame noise
+    s = 2.0
+    R = Rotation.from_euler("xyz", [0.3, -0.2, 0.5]).as_matrix()
+    trans = np.array([1.0, -2.0, 0.5])
+    noise = rng.normal(0, 0.01, (n, 3))
+    pred = gt.copy()
+    pred[:, :3, 3] = (gt[:, :3, 3] @ R.T) * s + trans + noise
+    pred[:, :3, :3] = np.einsum("ij,njk->nik", R, gt[:, :3, :3])
+
+    m = eval_metrics(pred, gt, correct_scale=True)
+    # ATE after optimal Sim3 alignment must be on the noise scale
+    assert m["ate"] < 0.03, m
+    # independent RPE computation
+    rel_g = np.linalg.inv(gt[:-1]) @ gt[1:]
+    rel_p = np.linalg.inv(pred[:-1]) @ pred[1:]
+    err = np.linalg.inv(rel_g) @ rel_p
+    t_rmse = float(np.sqrt((np.linalg.norm(err[:, :3, 3], axis=1) ** 2).mean()))
+    cos = (np.trace(err[:, :3, :3], axis1=1, axis2=2) - 1) / 2
+    r_rmse = float(np.sqrt(
+        (np.degrees(np.arccos(np.clip(cos, -1, 1))) ** 2).mean()
+    ))
+    np.testing.assert_allclose(m["rpe_trans"], t_rmse, rtol=1e-9)
+    np.testing.assert_allclose(m["rpe_rot"], r_rmse, rtol=1e-9)

@@ -392,6 +392,32 @@ def test_iggt_end_to_end_tiny():
         assert np.isfinite(np.asarray(v)).all()
 
 
+def test_vggt_feat_only():
+    """`feat_only=True` mirrors the reference's `forward_feat`
+    (`vggt.py:97-130`): last token map + raw depth/point head outputs,
+    no camera refinement, no tracking."""
+    from iggt_official_tpu.models.vggt import VGGT
+
+    cfg = ModelConfig().scaled(
+        embed_dim=64, depth=4, num_heads=4, img_size=56, patch_embed="conv"
+    )
+    cfg = dataclasses.replace(cfg, name="vggt", enable_part=False)
+    model = VGGT(cfg)
+    rng = np.random.default_rng(9)
+    B, S, H, W = 1, 2, 56, 56
+    imgs = jnp.asarray(rng.uniform(0, 1, (B, S, H, W, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), imgs)
+    preds = model.apply(params, imgs, feat_only=True)
+    assert set(preds) == {"cam_token", "depth", "point", "images"}
+    assert preds["cam_token"].shape[:2] == (B, S)
+    depth, depth_conf = preds["depth"]
+    assert depth.shape == (B, S, H, W, 1)
+    assert depth_conf.shape == (B, S, H, W)
+    pts, conf = preds["point"]
+    assert pts.shape == (B, S, H, W, 3)
+    assert "pose_enc" not in preds
+
+
 def test_iggt_bf16_head_fast_mode():
     """head_dtype="bfloat16" runs the decode paths in bf16 and stays close
     to the fp32 island output (same params)."""
