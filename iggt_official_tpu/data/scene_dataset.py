@@ -48,6 +48,12 @@ class SceneDirDataset(BaseViewDataset):
     trans_key = "t_cam2world"
     intr_keys = ("intrinsics", "intrinsic")
     min_frames = 24
+    # nesting level of sequence dirs under root/<dset> (co3d's
+    # category/sequence layout uses 2, `co3d.py:107-121`)
+    seq_depth = 1
+    # per-frame maximum-depth npz key for png_maxdepth decoding
+    # (co3d's `maximum_depth`, `co3d.py:154,176-179`)
+    max_depth_key: Optional[str] = None
 
     def __init__(
         self,
@@ -57,6 +63,8 @@ class SceneDirDataset(BaseViewDataset):
         z_far: float = 100,
         quick: bool = False,
         specify: bool = False,
+        use_cache: bool = False,
+        cache_root: str = "annotations",
         **kwargs,
     ):
         super().__init__(z_far=z_far, **kwargs)
@@ -70,33 +78,45 @@ class SceneDirDataset(BaseViewDataset):
         self.all_depth_paths: List[str] = []
         self.all_extrinsic: List[np.ndarray] = []
         self.all_intrinsic: List[np.ndarray] = []
+        self.max_depths: List[float] = []
         self.rank: Dict[int, np.ndarray] = {}
 
+        # reference-style startup index cache
+        # (`scannet.py:86-101,155-159`: rgb/depth path json + joblib
+        # extrinsics/intrinsics/rankings under annotations/<label>/<dset>;
+        # here one npz replaces the joblib files)
+        self._cache_dir = os.path.join(
+            cache_root, f"{self.dataset_label.lower()}_annotations", dset
+        )
+        if use_cache and self._load_cache():
+            return
+
         root = os.path.join(dataset_location, dset)
-        sequences = sorted(glob.glob(os.path.join(root, "*/")))
+        pattern = os.path.join(root, *(["*"] * self.seq_depth)) + os.sep
+        sequences = sorted(glob.glob(pattern))
         if quick:
             sequences = sequences[:1]
 
         for seq in sequences:
-            rgb_paths = sorted(
-                glob.glob(os.path.join(seq, self.color_dir, self.color_ext))
-            )
-            depth_paths = sorted(
-                glob.glob(os.path.join(seq, self.depth_dir, self.depth_ext))
-            )
-            cam_paths = sorted(glob.glob(os.path.join(seq, self.cam_dir, "*.npz")))
+            scanned = self._scan_sequence(seq)
+            if scanned is None:
+                continue
+            rgb_paths, depth_paths, cams, max_depths = scanned
             if len(rgb_paths) < self.min_frames:
                 continue
-            assert len(rgb_paths) == len(depth_paths) == len(cam_paths), seq
+            assert len(rgb_paths) == len(depth_paths) == len(cams), seq
 
             base = len(self.full_idxs)
             self.full_idxs.extend(range(base, base + len(rgb_paths)))
             self.all_rgb_paths.extend(rgb_paths)
             self.all_depth_paths.extend(depth_paths)
+            self.max_depths.extend(
+                max_depths if max_depths is not None
+                else [self.max_depth] * len(rgb_paths)
+            )
 
             extrinsics_seq = []
-            for cam_path in cam_paths:
-                pose, K = self._load_cam(cam_path)
+            for pose, K in cams:
                 self.all_extrinsic.append(pose)
                 self.all_intrinsic.append(K)
                 extrinsics_seq.append(pose)
@@ -108,6 +128,101 @@ class SceneDirDataset(BaseViewDataset):
             for ind, i in enumerate(range(base, len(self.full_idxs))):
                 # drop self (rank position 0 is the frame itself)
                 self.rank[i] = ranking[ind][1:]
+
+        if use_cache:
+            self._save_cache()
+
+    # -- sequence scanning (overridable per layout) --------------------
+    def _scan_sequence(self, seq: str):
+        """-> (rgb_paths, depth_paths, [(pose, K)...], max_depths|None)
+        for one sequence dir, or None to skip it."""
+        rgb_paths = sorted(
+            glob.glob(os.path.join(seq, self.color_dir, self.color_ext))
+        )
+        depth_paths = sorted(
+            glob.glob(os.path.join(seq, self.depth_dir, self.depth_ext))
+        )
+        cam_paths = sorted(glob.glob(os.path.join(seq, self.cam_dir, "*.npz")))
+        if not rgb_paths:
+            return None
+        cams = []
+        max_depths = [] if self.max_depth_key else None
+        for cam_path in cam_paths:
+            pose, K = self._load_cam(cam_path)
+            cams.append((pose, K))
+            if max_depths is not None:
+                with np.load(cam_path) as cam:
+                    max_depths.append(
+                        float(np.nan_to_num(cam[self.max_depth_key]))
+                        if self.max_depth_key in cam
+                        else self.max_depth
+                    )
+        return rgb_paths, depth_paths, cams, max_depths
+
+    # -- index cache ---------------------------------------------------
+    def _cache_paths(self):
+        import json
+
+        return (
+            os.path.join(self._cache_dir, "rgb_paths.json"),
+            os.path.join(self._cache_dir, "depth_paths.json"),
+            os.path.join(self._cache_dir, "index.npz"),
+        )
+
+    def _load_cache(self) -> bool:
+        import json
+
+        rgb_f, depth_f, arr_f = self._cache_paths()
+        if not (os.path.exists(rgb_f) and os.path.exists(arr_f)):
+            return False
+        with open(rgb_f, encoding="utf-8") as f:
+            rgb = json.load(f)
+        self.all_rgb_paths = [rgb[str(i)] for i in range(len(rgb))]
+        with open(depth_f, encoding="utf-8") as f:
+            dep = json.load(f)
+        self.all_depth_paths = [dep[str(i)] for i in range(len(dep))]
+        arrs = np.load(arr_f)
+        self.all_extrinsic = list(arrs["extrinsics"].astype(np.float32))
+        self.all_intrinsic = list(arrs["intrinsics"].astype(np.float32))
+        self.max_depths = list(arrs["max_depths"].astype(np.float64))
+        lengths = arrs["rank_lengths"]
+        flat = arrs["rank_flat"]
+        off = 0
+        for i, n in enumerate(lengths):
+            self.rank[i] = flat[off : off + n]
+            off += n
+        self.full_idxs = list(range(len(self.all_rgb_paths)))
+        return True
+
+    def _save_cache(self) -> None:
+        import json
+
+        os.makedirs(self._cache_dir, exist_ok=True)
+        rgb_f, depth_f, arr_f = self._cache_paths()
+        with open(rgb_f, "w", encoding="utf-8") as f:
+            json.dump({str(i): p for i, p in enumerate(self.all_rgb_paths)}, f)
+        with open(depth_f, "w", encoding="utf-8") as f:
+            json.dump(
+                {str(i): p for i, p in enumerate(self.all_depth_paths)}, f
+            )
+        lengths = np.array(
+            [len(self.rank[i]) for i in range(len(self.full_idxs))], np.int64
+        )
+        flat = (
+            np.concatenate([self.rank[i] for i in range(len(self.full_idxs))])
+            if len(self.full_idxs)
+            else np.zeros(0, np.int32)
+        )
+        np.savez(
+            arr_f,
+            extrinsics=np.stack(self.all_extrinsic)
+            if self.all_extrinsic else np.zeros((0, 4, 4), np.float32),
+            intrinsics=np.stack(self.all_intrinsic)
+            if self.all_intrinsic else np.zeros((0, 3, 3), np.float32),
+            max_depths=np.asarray(self.max_depths, np.float64),
+            rank_lengths=lengths,
+            rank_flat=flat.astype(np.int32),
+        )
 
     def __len__(self):
         return len(self.full_idxs)
@@ -128,7 +243,7 @@ class SceneDirDataset(BaseViewDataset):
         assert pose.shape == (4, 4) and K is not None and K.shape == (3, 3), cam_path
         return pose, K
 
-    def _read_depth(self, path: str) -> np.ndarray:
+    def _read_depth(self, path: str, max_depth: Optional[float] = None) -> np.ndarray:
         if self.depth_mode == "npy":
             depth = np.load(path).astype(np.float32)
         elif self.depth_mode == "pfm":
@@ -140,7 +255,8 @@ class SceneDirDataset(BaseViewDataset):
             if raw.ndim == 3:
                 raw = raw[..., 0]
             if self.depth_mode == "png_maxdepth":
-                depth = raw.astype(np.float32) / 65535.0 * self.max_depth
+                md = self.max_depth if max_depth is None else max_depth
+                depth = raw.astype(np.float32) / 65535.0 * md
             elif self.depth_mode == "exr":
                 depth = raw.astype(np.float32)
             else:
@@ -168,7 +284,10 @@ class SceneDirDataset(BaseViewDataset):
         views = []
         for i in full_idx:
             image = PIL.Image.open(self.all_rgb_paths[i]).convert("RGB")
-            depth = self._read_depth(self.all_depth_paths[i])
+            depth = self._read_depth(
+                self.all_depth_paths[i],
+                max_depth=self.max_depths[i] if self.max_depths else None,
+            )
             K = self.all_intrinsic[i]
             image, depth, K = self._crop_resize_if_necessary(
                 image, depth, K, resolution, rng=rng,

@@ -47,9 +47,18 @@ def _quantize_cells(flat: np.ndarray, cell: float):
 
 
 def _accelerator_available() -> bool:
-    """True when the default jax device is a real accelerator (the brute
-    kNN blocks only pay off on the MXU; the single-core CPU backend is far
-    slower than a host KD-tree)."""
+    """True when device brute-force kNN is both enabled and backed by a
+    real accelerator.
+
+    Opt-in via IGGT_DEVICE_KNN=1: on a directly-attached TPU the MXU blocks
+    beat the host KD-tree, but through a high-latency tunnel (this bench
+    machine: remote axon chip) per-block dispatch + first compile lose to
+    the host path (measured 778s vs 87s at demo scale, identical labels),
+    so the host KD-tree is the default."""
+    import os
+
+    if os.environ.get("IGGT_DEVICE_KNN", "0") != "1":
+        return False
     try:
         import jax
 

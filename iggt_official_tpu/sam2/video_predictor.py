@@ -86,22 +86,31 @@ class SAM2VideoPredictor:
         self._zero_ptr = None   # lazy (d_model,) zero object pointer
 
     # ------------------------------------------------------------------
-    def init_state(self, images: Sequence[np.ndarray]) -> Dict:
-        """images: list/array of HWC RGB frames.
+    def init_state(
+        self,
+        images,
+        async_loading_frames: bool = False,
+    ) -> Dict:
+        """images: list/array of HWC RGB frames, a JPEG-frame directory, or
+        an MP4 path (`sam2_video_predictor.py:36-95` + the frame loaders of
+        `sam2/utils/misc.py:98-305`).
 
-        The preprocessed stack is uploaded to the device once (25 frames at
+        Pre-decoded frames are uploaded to the device once (25 frames at
         512px is ~78 MB) — a per-frame upload costs a blocking host->device
         transfer inside the streaming loop, which dominates frame latency
-        on a remote device.  (The reference's `offload_video_to_cpu` is the
-        opposite trade; for very long videos, shard the video into clips.)
+        on a remote device.  ``async_loading_frames=True`` (JPEG dirs)
+        starts a background decode thread and uploads fixed-size chunks as
+        they finish, so the session starts after the first frame decodes.
         """
-        frames = jax.device_put(
-            jnp.asarray(self._transforms.forward_batch(list(images)))
+        from iggt_official_tpu.sam2.video_io import load_frame_source
+
+        source = load_frame_source(
+            images, self._transforms, async_loading_frames=async_loading_frames
         )
         return {
-            "images": frames,
-            "num_frames": len(frames),
-            "orig_hw": np.asarray(images[0]).shape[:2],
+            "images": source,
+            "num_frames": source.num_frames,
+            "orig_hw": source.orig_hw,
             "cached_features": {},
             # per object id:
             "point_inputs_per_obj": {},
@@ -119,7 +128,7 @@ class SAM2VideoPredictor:
     # ------------------------------------------------------------------
     def _get_image_features(self, state: Dict, frame_idx: int):
         if frame_idx not in state["cached_features"]:
-            img = state["images"][frame_idx][None]  # device-resident slice
+            img = state["images"].get(frame_idx)[None]  # device-resident
             state["cached_features"][frame_idx] = self._forward_image(
                 self.variables, img
             )

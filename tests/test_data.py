@@ -445,3 +445,129 @@ def test_sa1b_dataset(tmp_path):
     ds_eval = SA1BDataset(str(tmp_path), image_size=64, subset=(0, 8),
                           is_train=False, seed=0)
     assert len(ds_eval) == 7
+
+
+def test_scene_dataset_index_cache(tmp_path, monkeypatch):
+    """use_cache round-trip (ref `scannet.py:86-101,155-159`): second
+    construction loads the saved index and yields identical views."""
+    root = _make_scene_dir(tmp_path)
+    monkeypatch.chdir(tmp_path)  # annotations/ written under cwd like ref
+    ds1 = Scannet(root, dset="scans", resolution=(64, 48), seed=7,
+                  use_cache=True)
+    assert os.path.exists(
+        tmp_path / "annotations" / "scannet_annotations" / "scans"
+        / "index.npz"
+    )
+    ds2 = Scannet(root, dset="scans", resolution=(64, 48), seed=7,
+                  use_cache=True)
+    assert len(ds2) == len(ds1) == 26
+    assert ds2.all_rgb_paths == ds1.all_rgb_paths
+    np.testing.assert_array_equal(ds2.rank[3], ds1.rank[3])
+    v1 = ds1[(2, 0, 2)]
+    v2 = ds2[(2, 0, 2)]
+    np.testing.assert_allclose(v2[0]["img"], v1[0]["img"])
+    np.testing.assert_allclose(v2[1]["depthmap"], v1[1]["depthmap"])
+
+
+def test_co3d_nested_layout_and_max_depth(tmp_path):
+    """Co3d: category/sequence nesting, camera_pose key, per-frame
+    maximum_depth scaling (ref `co3d.py:107-179`)."""
+    import cv2
+    from scipy.spatial.transform import Rotation
+
+    from iggt_official_tpu.data.datasets import Co3d
+
+    rng = np.random.default_rng(1)
+    W, H = 96, 72
+    seq = tmp_path / "co3d" / "train" / "apple" / "seq001"
+    for sub in ("images", "depth", "cam"):
+        os.makedirs(seq / sub)
+    max_depths = []
+    for i in range(4):
+        PIL.Image.fromarray(
+            rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        ).save(seq / "images" / f"{i:04d}.jpg")
+        raw = rng.integers(1000, 60000, (H, W)).astype(np.uint16)
+        cv2.imwrite(str(seq / "depth" / f"{i:04d}.png"), raw)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = Rotation.from_rotvec([0, 0.1 * i, 0]).as_matrix()
+        pose[:3, 3] = [0.1 * i, 0, 0]
+        K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]],
+                     np.float32)
+        md = 5.0 + i
+        max_depths.append(md)
+        np.savez(seq / "cam" / f"{i:04d}.npz", camera_pose=pose,
+                 intrinsics=K, maximum_depth=np.float32(md))
+
+    ds = Co3d(str(tmp_path / "co3d"), dset="train", resolution=(64, 48),
+              seed=3)
+    assert len(ds) == 4
+    assert ds.max_depths == max_depths
+    # depth decoded with the per-frame scale: frame 3 uses max_depth 8
+    d3_raw = cv2.imread(str(seq / "depth" / "0003.png"),
+                        cv2.IMREAD_UNCHANGED).astype(np.float32)
+    want = d3_raw / 65535.0 * 8.0
+    got = ds._read_depth(str(seq / "depth" / "0003.png"),
+                         max_depth=ds.max_depths[3])
+    valid = got > 0  # percentile threshold zeroes the top tail
+    np.testing.assert_allclose(got[valid], want[valid], rtol=1e-6)
+
+
+def test_scannetpp_metadata_and_obj_ids(tmp_path):
+    """ScanNet++: metadata npz with DSC-prefix skipping + obj_ids
+    instance maps (ref `scannetpp.py:67-250`)."""
+    import cv2
+    import torch
+    from scipy.spatial.transform import Rotation
+
+    from iggt_official_tpu.data.datasets import Scannetpp
+
+    rng = np.random.default_rng(2)
+    W, H = 96, 72
+    seq = tmp_path / "spp" / "scans" / "scene0"
+    for sub in ("images", "depth", "obj_ids"):
+        os.makedirs(seq / sub)
+    n_iphone, n_dsc = 4, 2
+    poses, intrs, names = [], [], []
+    for i in range(n_dsc):
+        names.append(f"DSC{i:05d}.jpg")
+        poses.append(np.full((4, 4), np.nan, np.float32))  # DSLR skipped
+        intrs.append(np.eye(3, dtype=np.float32))
+    for i in range(n_iphone):
+        names.append(f"frame_{i:06d}.jpg")
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, :3] = Rotation.from_rotvec([0, 0.05 * i, 0]).as_matrix()
+        pose[:3, 3] = [0.1 * i, 0, 0]
+        poses.append(pose)
+        intrs.append(np.array(
+            [[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]], np.float32
+        ))
+        PIL.Image.fromarray(
+            rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+        ).save(seq / "images" / f"frame_{i:06d}.jpg")
+        cv2.imwrite(
+            str(seq / "depth" / f"frame_{i:06d}.png"),
+            rng.integers(500, 3000, (H, W)).astype(np.uint16),
+        )
+        torch.save(
+            torch.from_numpy(rng.integers(0, 5, (H, W)).astype(np.int32)),
+            str(seq / "obj_ids" / f"frame_{i:06d}.jpg.pth"),
+        )
+    np.savez(
+        seq / "new_scene_metadata.npz",
+        images=np.array(names),
+        trajectories=np.stack(poses),
+        intrinsics=np.stack(intrs),
+    )
+
+    class TinyScannetpp(Scannetpp):
+        min_frames = 2  # fixture is tiny; the real floor is 24
+
+    ds = TinyScannetpp(str(tmp_path / "spp"), dset="scans",
+                       resolution=(64, 48), seed=5)
+    assert len(ds) == n_iphone  # DSC frames skipped
+    views = ds[(0, 0, 2)]
+    for v in views:
+        assert "instance_ids" in v
+        assert v["instance_ids"].shape == v["depthmap"].shape
+        assert v["instance_ids"].max() < 5

@@ -197,3 +197,82 @@ def test_amg_generate(tiny_sam):
     assert r["segmentation"].shape == (48, 64)
     assert set(r) >= {"segmentation", "area", "bbox", "predicted_iou",
                       "stability_score", "point_coords"}
+
+
+def _write_jpeg_frames(tmp_path, n=5, hw=(48, 64), seed=2):
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    frames = []
+    for i in range(n):
+        img = rng.integers(0, 255, (*hw, 3), dtype=np.uint8)
+        frames.append(img)
+        cv2.imwrite(
+            str(tmp_path / f"{i:05d}.jpg"),
+            cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+            [cv2.IMWRITE_JPEG_QUALITY, 95],
+        )
+    return frames
+
+
+def test_video_io_jpeg_dir_sources(tmp_path):
+    """JPEG-dir ingestion (sync + async) matches the ndarray path
+    (ref `sam2/utils/misc.py:98-270`)."""
+    from iggt_official_tpu.sam2.transforms import SAM2Transforms
+    from iggt_official_tpu.sam2.video_io import load_frame_source
+
+    _write_jpeg_frames(tmp_path)
+    tr = SAM2Transforms(64, 0.0, 0.0, 0.0)
+
+    sync = load_frame_source(str(tmp_path), tr)
+    assert sync.num_frames == 5 and tuple(sync.orig_hw) == (48, 64)
+    async_src = load_frame_source(
+        str(tmp_path), tr, async_loading_frames=True, chunk=2
+    )
+    assert async_src.num_frames == 5
+    assert tuple(async_src.orig_hw) == (48, 64)
+    for i in (0, 3, 4, 1):  # out-of-order access blocks per chunk
+        np.testing.assert_allclose(
+            np.asarray(async_src.get(i)), np.asarray(sync.get(i)), atol=1e-6
+        )
+
+
+def test_video_io_mp4(tmp_path):
+    import cv2
+
+    from iggt_official_tpu.sam2.transforms import SAM2Transforms
+    from iggt_official_tpu.sam2.video_io import load_frame_source
+
+    path = str(tmp_path / "clip.mp4")
+    vw = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), 5.0, (64, 48)
+    )
+    if not vw.isOpened():
+        pytest.skip("cv2 mp4 encoder unavailable")
+    rng = np.random.default_rng(3)
+    for _ in range(4):
+        vw.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    vw.release()
+
+    tr = SAM2Transforms(64, 0.0, 0.0, 0.0)
+    src = load_frame_source(path, tr)
+    assert src.num_frames == 4 and tuple(src.orig_hw) == (48, 64)
+    assert np.isfinite(np.asarray(src.get(2))).all()
+
+
+def test_video_predictor_from_jpeg_dir(tiny_sam, tmp_path):
+    """VOS runnable straight from a frame directory (async decode)."""
+    model, variables = tiny_sam
+    pred = SAM2VideoPredictor(model, variables)
+    frames = _write_jpeg_frames(tmp_path, n=4)
+
+    state = pred.init_state(str(tmp_path), async_loading_frames=True)
+    assert state["num_frames"] == 4
+    pred.add_new_points_or_box(
+        state, frame_idx=0, obj_id=1,
+        points=np.array([[30.0, 20.0]]), labels=np.array([1]),
+    )
+    outs = list(pred.propagate_in_video(state))
+    assert [f for f, _, _ in outs] == [0, 1, 2, 3]
+    for _, ids, masks in outs:
+        assert masks.shape == (1, 48, 64) and np.isfinite(masks).all()
