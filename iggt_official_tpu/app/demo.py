@@ -216,6 +216,7 @@ class IGGTProcessor:
                 eps=cc.eps,
                 min_samples=cc.min_samples,
                 min_cluster_size=cc.min_cluster_size,
+                exact=cc.exact,
             )
             preds["instance_masks"] = masks
             preds["instance_masks_colored"] = colored
@@ -436,13 +437,20 @@ def main() -> None:
                         help="decode-head compute dtype: float32 is the "
                              "reference parity island; bfloat16 is the "
                              "fast mode (~10%% end-to-end on v5e)")
+    parser.add_argument("--exact_clustering", action="store_true",
+                        help="run the weighted HDBSCAN at full pixel "
+                             "density (reference algorithm verbatim; "
+                             "minutes at demo scale) instead of the "
+                             "subsampled fast path")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
+    import dataclasses as _dc0
     runtime = RuntimeConfig(
         image_size=tuple(args.image_size),
         conf_threshold=args.conf_threshold,
-        clustering=CLUSTERING_PRESETS[args.preset],
+        clustering=_dc0.replace(CLUSTERING_PRESETS[args.preset],
+                                exact=args.exact_clustering),
         global_merge_r=args.merge_tokens,
         mask_sky=args.mask_sky,
     )

@@ -247,6 +247,12 @@ class ClusteringConfig:
     min_samples: int = 100
     min_cluster_size: int = 500
     knn_k: int = 20
+    # exact=True runs the weighted HDBSCAN at full pixel density (the
+    # reference algorithm verbatim; minutes at demo scale even with the
+    # device kNN); False clusters a <=150k uniform subsample with
+    # density-scaled parameters (seconds; see PERF.md for the measured
+    # fidelity envelope)
+    exact: bool = False
 
 
 # Presets from demo.py:63-83

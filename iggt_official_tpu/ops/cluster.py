@@ -29,35 +29,22 @@ from typing import Dict, Optional, Tuple, Union
 import numpy as np
 
 
-def _quantize_cells(flat: np.ndarray, cell: float):
-    """Compress (M, C) features to unique grid cells.
-
-    Returns (cell_centers (K, C) = mean feature per cell, counts (K,),
-    pixel->cell index (M,)).
-    """
-    q = np.floor(flat / cell).astype(np.int32)
-    _, pix2cell, counts = np.unique(
-        q, axis=0, return_inverse=True, return_counts=True
-    )
-    K = counts.shape[0]
-    sums = np.zeros((K, flat.shape[1]), np.float64)
-    np.add.at(sums, pix2cell, flat)
-    centers = (sums / counts[:, None]).astype(np.float32)
-    return centers, counts.astype(np.int64), pix2cell
-
-
 def _accelerator_available() -> bool:
-    """True when device brute-force kNN is both enabled and backed by a
-    real accelerator.
+    """True when device brute-force kNN should be used.
 
-    Opt-in via IGGT_DEVICE_KNN=1: on a directly-attached TPU the MXU blocks
-    beat the host KD-tree, but through a high-latency tunnel (this bench
-    machine: remote axon chip) per-block dispatch + first compile lose to
-    the host path (measured 778s vs 87s at demo scale, identical labels),
-    so the host KD-tree is the default."""
+    Steady-state MXU blocks beat the host KD-tree 3x even through the
+    remote tunnel (27.7s vs 87s at demo scale, identical labels), but the
+    FIRST compile costs minutes there.  Policy: IGGT_DEVICE_KNN=1 forces
+    on, =0 forces off; unset -> auto: on when the default device is a real
+    accelerator AND a persistent compilation cache is configured (so the
+    one-time compile amortizes across processes — bench.py and long-running
+    services set JAX_COMPILATION_CACHE_DIR)."""
     import os
 
-    if os.environ.get("IGGT_DEVICE_KNN", "0") != "1":
+    flag = os.environ.get("IGGT_DEVICE_KNN")
+    if flag == "0":
+        return False
+    if flag != "1" and not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return False
     try:
         import jax
@@ -468,9 +455,15 @@ def cluster_features_to_masks_mv(
     eps: float = 0.06,
     min_samples: int = 100,
     min_cluster_size: int = 500,
+    exact: bool = False,
     **_ignored,
 ) -> Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]:
-    """Joint multi-view clustering (`misc.py:81-170` semantics)."""
+    """Joint multi-view clustering (`misc.py:81-170` semantics).
+
+    ``exact=True`` disables the subsampling workload bound and runs the
+    weighted HDBSCAN over every pixel — the reference algorithm at full
+    density (verified to match sklearn on identical inputs); use for
+    parity-critical evaluation, minutes at demo scale."""
     feature_map = np.asarray(feature_map)
     n, h, w, c = feature_map.shape
     flat = feature_map.reshape(-1, c).astype(np.float32)
@@ -483,7 +476,7 @@ def cluster_features_to_masks_mv(
     # hierarchy in expectation); non-sampled pixels are 1-NN-assigned —
     # the same mechanism the reference already uses for noise pixels.
     budget = 150_000
-    if M > budget:
+    if M > budget and not exact:
         rng = np.random.default_rng(0)
         sample_idx = rng.choice(M, budget, replace=False)
         rate = budget / M

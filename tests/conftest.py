@@ -17,6 +17,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon register hook sets the *config* key jax_platforms="axon,cpu"
+# (env JAX_PLATFORMS is overridden), so restricting platforms must also go
+# through jax.config.  "cpu" alone keeps the tunneled-TPU PJRT client from
+# ever initializing — CPU tests must not be hostage to tunnel health (a
+# wedged tunnel aborted a full suite run mid-flight in round 2).
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # backends already up (e.g. driver-embedded run)
+    pass
+
 jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
 
 import pytest  # noqa: E402

@@ -276,3 +276,41 @@ def test_habitat_crop_extraction():
     proj2, pos = dict_to_perspective_projection(d)
     np.testing.assert_allclose(proj2.base_projection.K, K)
     assert pos == [1.0, 2.0, 3.0]
+
+
+def test_edit_resolution_tool(tmp_path):
+    """COLMAP intrinsics rescale tool (ref
+    `dataset_preprocess/edit_image_resolution.py`): backs up cameras.bin,
+    scales focal/principal point to the on-disk image size, idempotent."""
+    import PIL.Image
+
+    from iggt_official_tpu.data.colmap import (
+        Camera,
+        read_cameras_binary,
+        write_cameras_binary,
+    )
+    from iggt_official_tpu.preprocess.edit_resolution import (
+        edit_scene_resolution,
+    )
+
+    scene = tmp_path / "sceneX"
+    sparse = scene / "colmap" / "sparse" / "0"
+    os.makedirs(sparse)
+    os.makedirs(scene / "images_8")
+    PIL.Image.new("RGB", (480, 270)).save(scene / "images_8" / "f0001.png")
+
+    cams = {
+        1: Camera(1, "PINHOLE", 1920, 1080,
+                  np.array([1000.0, 1000.0, 960.0, 540.0])),
+    }
+    write_cameras_binary(cams, str(sparse / "cameras.bin"))
+
+    assert edit_scene_resolution(str(scene))
+    got = read_cameras_binary(str(sparse / "cameras.bin"))[1]
+    assert (got.width, got.height) == (480, 270)
+    np.testing.assert_allclose(
+        got.params, [250.0, 250.0, 240.0, 135.0]
+    )
+    assert os.path.exists(str(sparse / "cameras.bin.backup"))
+    # second invocation is a no-op
+    assert not edit_scene_resolution(str(scene))
