@@ -31,26 +31,43 @@ from iggt_official_tpu.data.ranking import compute_ranking
 
 class SceneDirDataset(BaseViewDataset):
     dataset_label = "SceneDir"
+    # sub-dirs under each sequence dir; "" = flat layout where rgb/depth/cam
+    # files share the sequence dir itself (hypersim/waymo/vkitti-style)
     color_dir = "color"
     depth_dir = "depth"
     cam_dir = "cam"
     color_ext = "*.jpg"
     depth_ext = "*.png"
+    cam_ext = "*.npz"
     # depth decoding: "png_scale" (uint16 / depth_scale), "png_maxdepth"
     # (uint16 / 65535 * max_depth, hypersim-style), "npy", "pfm", "exr"
     depth_mode = "png_scale"
     depth_scale = 1000.0  # raw / scale = meters
     max_depth = 100.0     # used by png_maxdepth
     depth_percentile = 99
-    # camera npz keys: either a single 4x4 "pose" or split R/t
-    pose_key = "pose"
+    # camera npz keys: a 4x4 pose under any of pose_keys, or split R/t
+    pose_key = "pose"  # back-compat single-key override
+    pose_keys = ("pose", "cam2world", "camera_pose")
     rot_key = "R_cam2world"
     trans_key = "t_cam2world"
-    intr_keys = ("intrinsics", "intrinsic")
+    intr_keys = ("intrinsics", "intrinsic", "camera_intrinsics")
+    # optional pose fixups applied at scan time: premul @ pose @ postmul,
+    # then inversion when the file stores world->cam (pointodyssey-style)
+    pose_premul: Optional[np.ndarray] = None
+    pose_postmul: Optional[np.ndarray] = None
+    invert_pose = False
     min_frames = 24
+    # per-dataset default z_far (each reference loader hard-codes its own:
+    # arkitscenes 20, hypersim/bedlam/spring 200, waymo/vkitti 655, ...)
+    z_far_default = 100.0
     # nesting level of sequence dirs under root/<dset> (co3d's
-    # category/sequence layout uses 2, `co3d.py:107-121`)
+    # category/sequence layout uses 2, `co3d.py:107-121`); seq_glob
+    # overrides the whole pattern (wildrgb's `*/scenes/*`)
     seq_depth = 1
+    seq_glob: Optional[str] = None
+    # scene names to skip outright (hypersim's broken_scenes list,
+    # `hypersim.py:25-45`); matched against any path component
+    skip_scenes: frozenset = frozenset()
     # per-frame maximum-depth npz key for png_maxdepth decoding
     # (co3d's `maximum_depth`, `co3d.py:154,176-179`)
     max_depth_key: Optional[str] = None
@@ -60,14 +77,16 @@ class SceneDirDataset(BaseViewDataset):
         dataset_location: str,
         dset: str = "scans",
         top_k: int = 256,
-        z_far: float = 100,
+        z_far: Optional[float] = None,
         quick: bool = False,
         specify: bool = False,
         use_cache: bool = False,
         cache_root: str = "annotations",
         **kwargs,
     ):
-        super().__init__(z_far=z_far, **kwargs)
+        super().__init__(
+            z_far=self.z_far_default if z_far is None else z_far, **kwargs
+        )
         self.dataset_location = dataset_location
         self.dset = dset
         self.top_k = top_k
@@ -92,12 +111,16 @@ class SceneDirDataset(BaseViewDataset):
             return
 
         root = os.path.join(dataset_location, dset)
-        pattern = os.path.join(root, *(["*"] * self.seq_depth)) + os.sep
-        sequences = sorted(glob.glob(pattern))
+        sub = self.seq_glob or os.path.join(*(["*"] * self.seq_depth))
+        sequences = sorted(glob.glob(os.path.join(root, sub) + os.sep))
         if quick:
             sequences = sequences[:1]
 
         for seq in sequences:
+            parts = set(os.path.normpath(seq).split(os.sep))
+            if parts & self.skip_scenes:
+                print(f"Skipping broken scene: {seq}")
+                continue
             scanned = self._scan_sequence(seq)
             if scanned is None:
                 continue
@@ -142,7 +165,9 @@ class SceneDirDataset(BaseViewDataset):
         depth_paths = sorted(
             glob.glob(os.path.join(seq, self.depth_dir, self.depth_ext))
         )
-        cam_paths = sorted(glob.glob(os.path.join(seq, self.cam_dir, "*.npz")))
+        cam_paths = sorted(
+            glob.glob(os.path.join(seq, self.cam_dir, self.cam_ext))
+        )
         if not rgb_paths:
             return None
         cams = []
@@ -229,9 +254,12 @@ class SceneDirDataset(BaseViewDataset):
 
     def _load_cam(self, cam_path: str):
         cam = np.load(cam_path)
-        if self.pose_key in cam:
-            pose = np.asarray(cam[self.pose_key], np.float32)
-        else:
+        pose = None
+        for key in (self.pose_key, *self.pose_keys):
+            if key in cam:
+                pose = np.asarray(cam[key], np.float32)
+                break
+        if pose is None:
             pose = np.eye(4, dtype=np.float32)
             pose[:3, :3] = np.asarray(cam[self.rot_key], np.float32)
             pose[:3, 3] = np.asarray(cam[self.trans_key], np.float32).ravel()
@@ -241,7 +269,31 @@ class SceneDirDataset(BaseViewDataset):
                 K = np.asarray(cam[key], np.float32)
                 break
         assert pose.shape == (4, 4) and K is not None and K.shape == (3, 3), cam_path
-        return pose, K
+        return self._fix_pose(pose), K
+
+    def _fix_pose(self, pose: np.ndarray) -> np.ndarray:
+        """Dataset-convention fixups: unreal4k's axis swap
+        (`unreal4k.py:25,140` `R_conv @ cam2world`), kubric's
+        Blender->OpenCV postmul (`kubric.py:141-143`), pointodyssey's
+        stored world->cam inversion (`pointodyssey.py:160-167`)."""
+        if self.pose_premul is not None:
+            pose = self.pose_premul @ pose
+        if self.pose_postmul is not None:
+            pose = pose @ self.pose_postmul
+        if self.invert_pose:
+            inv = np.eye(4, dtype=pose.dtype)
+            inv[:3, :3] = pose[:3, :3].T
+            inv[:3, 3] = -pose[:3, :3].T @ pose[:3, 3]
+            pose = inv
+        return pose.astype(np.float32)
+
+    def _load_depth_for(self, i: int) -> np.ndarray:
+        """Per-index depth hook so subclasses can fold in auxiliary files
+        (mapfree's sky masks, infinigen's seg maps)."""
+        return self._read_depth(
+            self.all_depth_paths[i],
+            max_depth=self.max_depths[i] if self.max_depths else None,
+        )
 
     def _read_depth(self, path: str, max_depth: Optional[float] = None) -> np.ndarray:
         if self.depth_mode == "npy":
@@ -284,10 +336,7 @@ class SceneDirDataset(BaseViewDataset):
         views = []
         for i in full_idx:
             image = PIL.Image.open(self.all_rgb_paths[i]).convert("RGB")
-            depth = self._read_depth(
-                self.all_depth_paths[i],
-                max_depth=self.max_depths[i] if self.max_depths else None,
-            )
+            depth = self._load_depth_for(i)
             K = self.all_intrinsic[i]
             image, depth, K = self._crop_resize_if_necessary(
                 image, depth, K, resolution, rng=rng,

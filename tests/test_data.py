@@ -571,3 +571,387 @@ def test_scannetpp_metadata_and_obj_ids(tmp_path):
         assert "instance_ids" in v
         assert v["instance_ids"].shape == v["depthmap"].shape
         assert v["instance_ids"].max() < 5
+
+
+# -- per-dataset loader idiosyncrasies (round 2) -----------------------
+
+_K = np.array([[100.0, 0, 32], [0, 100, 24], [0, 0, 1]], np.float32)
+
+
+def _pose(i):
+    p = np.eye(4, dtype=np.float32)
+    p[:3, 3] = [i * 0.1, 0.0, 0.0]
+    return p
+
+
+def test_z_far_defaults_match_reference():
+    """Each reference loader hard-codes its own z_far (`arkitscenes.py:35`,
+    `hypersim.py:53`, `vkitti.py:32`, `waymo.py:31`, `kubric.py:32`,
+    `uasol.py:33`, `spring.py:30`, `bedlam.py:37`, `unreal4k.py:36`,
+    `wildrgb.py:35`, `megadepth.py:37`, `replica.py:388`,
+    `pointodyssey.py:341`)."""
+    from iggt_official_tpu.data.datasets import DATASETS
+
+    expected = {
+        "ARKitScenes": 20, "ARKitScenesHigh": 20, "Hypersim": 200,
+        "Vkitti": 655, "Waymo": 655, "Kubric": 1000, "Uasol": 20,
+        "Spring": 200, "Bedlam": 200, "Unreal4k": 1000, "Wildrgb": 50,
+        "MegaDepth": 1000, "Replica": 80, "PointOdyssey": 80,
+        "Dynamic_Replica": 100, "Scannet": 100,
+    }
+    for name, zf in expected.items():
+        assert DATASETS[name].z_far_default == zf, name
+
+
+def test_hypersim_flat_layout_and_broken_scenes(tmp_path):
+    """`hypersim.py:25-45,128-176`: flat <scene>/<sub>/ dirs (png rgb +
+    npy depth + npz cams) and the broken_scenes skip list."""
+    from iggt_official_tpu.data.datasets import Hypersim
+
+    for scene in ["ai_001_001", "ai_003_001"]:  # second one is broken
+        d = tmp_path / "hs" / "scans" / scene / "cam_00"
+        os.makedirs(d)
+        for i in range(24):
+            PIL.Image.new("RGB", (64, 48)).save(d / f"f{i:04d}.png")
+            np.save(d / f"f{i:04d}.npy", np.full((48, 64), 2.0, np.float32))
+            np.savez(d / f"f{i:04d}.npz", pose=_pose(i), intrinsics=_K)
+    ds = Hypersim(str(tmp_path / "hs"), resolution=(64, 48))
+    assert len(ds) == 24  # ai_003_001 skipped
+    assert ds.z_far == 200
+    views = ds._get_views(0, 2, (64, 48), np.random.default_rng(0))
+    assert views[0]["depthmap"].shape == (48, 64)
+
+
+def test_pointodyssey_anno_npz_and_depth_encoding(tmp_path):
+    """`pointodyssey.py:95-110,160-174`: one anno.npz per sequence with
+    world->cam extrinsics (inverted at load) and uint16/65535*1000 depth."""
+    import cv2
+
+    from iggt_official_tpu.data.datasets import PointOdyssey
+
+    d = tmp_path / "po" / "scans" / "seq0"
+    os.makedirs(d / "rgbs")
+    os.makedirs(d / "depths")
+    w2cs = []
+    for i in range(24):
+        PIL.Image.new("RGB", (64, 48)).save(d / "rgbs" / f"f{i:04d}.jpg")
+        cv2.imwrite(str(d / "depths" / f"f{i:04d}.png"),
+                    np.full((48, 64), 655, np.uint16))
+        w2cs.append(np.linalg.inv(_pose(i)))
+    np.savez(d / "anno.npz",
+             extrinsics=np.stack(w2cs).astype(np.float32),
+             pix_T_cams=np.stack([_K] * 24))
+    ds = PointOdyssey(str(tmp_path / "po"), resolution=(64, 48))
+    assert len(ds) == 24
+    np.testing.assert_allclose(ds.all_extrinsic[3], _pose(3), atol=1e-6)
+    v = ds._get_views(0, 1, (64, 48), np.random.default_rng(0))
+    np.testing.assert_allclose(
+        v[0]["depthmap"][0, 0], 655 / 65535 * 1000, rtol=1e-5
+    )
+
+
+def test_kubric_dense_npy_blender_poses_and_depth_range(tmp_path):
+    """`kubric.py:110-152,176-179`: per-scene <scene>_dense.npy with
+    Blender matrix_world (Y/Z column flip to OpenCV) and depth decoded as
+    min + raw*(max-min)/65535."""
+    import cv2
+
+    from iggt_official_tpu.data.datasets import Kubric
+
+    d = tmp_path / "ku" / "scans" / "sc0"
+    os.makedirs(d / "frames")
+    os.makedirs(d / "depths")
+    flip = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    blender = []
+    for i in range(24):
+        PIL.Image.new("RGB", (64, 48)).save(d / "frames" / f"f{i:04d}.png")
+        cv2.imwrite(str(d / "depths" / f"f{i:04d}.png"),
+                    np.full((48, 64), 32767, np.uint16))
+        blender.append(_pose(i) @ np.linalg.inv(flip))
+    np.save(d / "sc0_dense.npy",
+            dict(intrinsics=np.stack([_K] * 24),
+                 matrix_world=np.stack(blender).astype(np.float32),
+                 depth_range=(1.0, 3.0)))
+    ds = Kubric(str(tmp_path / "ku"), resolution=(64, 48))
+    assert len(ds) == 24
+    np.testing.assert_allclose(ds.all_extrinsic[5], _pose(5), atol=1e-5)
+    v = ds._get_views(0, 1, (64, 48), np.random.default_rng(0))
+    np.testing.assert_allclose(
+        v[0]["depthmap"][0, 0], 1.0 + 32767 * 2 / 65535, rtol=1e-4
+    )
+
+
+def test_sintel_dpt_cam_and_dynamic_masks(tmp_path):
+    """`sintel.py:20-47,93-133,185-214`: TAG_FLOAT .dpt depth, .cam
+    cameras (w2c inverted to c2w) from parallel trees, dynamic masks."""
+    from iggt_official_tpu.data.datasets import Sintel, sintel_depth_write
+
+    for sub in ["clean", "depth", "camdata_left", "dynamic_label_perfect"]:
+        os.makedirs(tmp_path / "si" / sub / "alley_1")
+    for i in range(4):
+        PIL.Image.new("RGB", (64, 48)).save(
+            tmp_path / "si" / "clean" / "alley_1" / f"frame_{i:04d}.png")
+        sintel_depth_write(
+            str(tmp_path / "si" / "depth" / "alley_1" / f"frame_{i:04d}.dpt"),
+            np.full((48, 64), 3.0, np.float32))
+        with open(tmp_path / "si" / "camdata_left" / "alley_1"
+                  / f"frame_{i:04d}.cam", "wb") as f:
+            np.asarray([202021.25], np.float32).tofile(f)
+            _K.astype(np.float64).tofile(f)
+            np.linalg.inv(_pose(i))[:3].astype(np.float64).tofile(f)
+        PIL.Image.fromarray(np.zeros((48, 64), np.uint8)).save(
+            tmp_path / "si" / "dynamic_label_perfect" / "alley_1"
+            / f"frame_{i:04d}.png")
+    ds = Sintel(str(tmp_path / "si"), resolution=(64, 48))
+    assert len(ds) == 4
+    np.testing.assert_allclose(ds.all_extrinsic[2], _pose(2), atol=1e-5)
+    v = ds._get_views(0, 1, (64, 48), np.random.default_rng(0))
+    np.testing.assert_allclose(v[0]["depthmap"][0, 0], 3.0)
+    assert not v[0]["dynamic_mask"].any()  # all-zero mask -> all static
+
+
+def test_replica_json_cams(tmp_path):
+    """`replica.py:105-120,169-190`: jpeg rgb + exr depth + per-frame json
+    cameras (camera_intrinsics + R/t_cam2world) in one flat dir."""
+    import json as _json
+
+    from iggt_official_tpu.data.datasets import Replica
+
+    class ReplicaNpy(Replica):  # avoid exr IO in the fixture
+        depth_ext = "*.npy"
+        depth_mode = "npy"
+
+    d = tmp_path / "re" / "scans" / "room0"
+    os.makedirs(d)
+    for i in range(24):
+        PIL.Image.new("RGB", (64, 48)).save(d / f"f{i:04d}.jpeg")
+        np.save(d / f"f{i:04d}.npy", np.full((48, 64), 2.0, np.float32))
+        p = _pose(i)
+        with open(d / f"f{i:04d}.json", "w", encoding="utf-8") as f:
+            _json.dump(dict(camera_intrinsics=_K.tolist(),
+                            R_cam2world=p[:3, :3].tolist(),
+                            t_cam2world=p[:3, 3].tolist()), f)
+    ds = ReplicaNpy(str(tmp_path / "re"), resolution=(64, 48))
+    assert len(ds) == 24 and ds.z_far == 80
+    np.testing.assert_allclose(ds.all_extrinsic[7], _pose(7), atol=1e-6)
+
+
+def test_habitat_basis_subdir(tmp_path):
+    """`habitat.py:99-113`: frames live under the `<hash>.basis/` subdir
+    derived from the sequence dir name's trailing dash component."""
+    import json as _json
+
+    from iggt_official_tpu.data.datasets import Habitat
+
+    class HabitatNpy(Habitat):
+        depth_ext = "*.npy"
+        depth_mode = "npy"
+
+    d = tmp_path / "hb" / "scans" / "00001-abcdef" / "abcdef.basis"
+    os.makedirs(d)
+    for i in range(24):
+        PIL.Image.new("RGB", (64, 48)).save(d / f"f{i:04d}.jpeg")
+        np.save(d / f"f{i:04d}.npy", np.full((48, 64), 2.0, np.float32))
+        p = _pose(i)
+        with open(d / f"f{i:04d}.json", "w", encoding="utf-8") as f:
+            _json.dump(dict(camera_intrinsics=_K.tolist(),
+                            R_cam2world=p[:3, :3].tolist(),
+                            t_cam2world=p[:3, 3].tolist()), f)
+    ds = HabitatNpy(str(tmp_path / "hb"), resolution=(64, 48))
+    assert len(ds) == 24
+
+
+def test_arkitscenes_metadata_npz(tmp_path):
+    """`arkitscenes.py:108-135`: frame names from the metadata npz `images`
+    list (rgb renamed .png->.jpg under vga_wide/), mm/1000 depth, z_far
+    20."""
+    import cv2
+
+    from iggt_official_tpu.data.datasets import ARKitScenes
+
+    d = tmp_path / "ak" / "scans" / "sc0"
+    os.makedirs(d / "vga_wide")
+    os.makedirs(d / "lowres_depth")
+    names = [f"f{i:04d}.png" for i in range(24)]
+    for n in names:
+        PIL.Image.new("RGB", (64, 48)).save(
+            d / "vga_wide" / n.replace(".png", ".jpg"))
+        cv2.imwrite(str(d / "lowres_depth" / n),
+                    np.full((48, 64), 2000, np.uint16))
+    np.savez(d / "new_scene_metadata.npz",
+             images=np.array(names),
+             trajectories=np.stack([_pose(i) for i in range(24)]),
+             intrinsics=np.stack([_K] * 24))
+    ds = ARKitScenes(str(tmp_path / "ak"), resolution=(64, 48))
+    assert len(ds) == 24 and ds.z_far == 20
+    v = ds._get_views(0, 1, (64, 48), np.random.default_rng(0))
+    np.testing.assert_allclose(v[0]["depthmap"][0, 0], 2.0)
+
+
+def test_vkitti_nesting_scale_and_sky_sentinel(tmp_path):
+    """`vkitti.py:109-145,225-235`: 3-level nesting, flat dirs, cm-scaled
+    uint16 `*depth.png`, readings >= 655 m set to the -1 sky sentinel."""
+    import cv2
+
+    from iggt_official_tpu.data.datasets import Vkitti
+
+    d = tmp_path / "vk" / "scans" / "Scene01" / "clone" / "frames"
+    os.makedirs(d)
+    for i in range(24):
+        PIL.Image.new("RGB", (64, 48)).save(d / f"rgb_{i:05d}.jpg")
+        dep = np.full((48, 64), 500, np.uint16)
+        dep[0, 0] = 65535  # 655.35 m -> sky
+        cv2.imwrite(str(d / f"{i:05d}depth.png"), dep)
+        np.savez(d / f"cam_{i:05d}.npz",
+                 camera_pose=_pose(i), camera_intrinsics=_K)
+    ds = Vkitti(str(tmp_path / "vk"), resolution=(64, 48))
+    assert len(ds) == 24 and ds.z_far == 655
+    v = ds._get_views(0, 1, (64, 48), np.random.default_rng(0))
+    assert v[0]["depthmap"].min() == -1.0
+    assert np.sort(np.unique(v[0]["depthmap"]))[-1] == pytest.approx(5.0)
+
+
+def test_mapfree_sky_mask_zeroing(tmp_path):
+    """`mapfree.py:121-155,230-243`: nested rgb/depth/cam + sky_mask jpgs
+    zeroing depth where nonzero, 98th-percentile threshold."""
+    import cv2
+
+    from iggt_official_tpu.data.datasets import MapFree
+
+    d = tmp_path / "mf" / "scans" / "s0" / "seq0"
+    for sub in ["rgb", "depth", "cam", "sky_mask"]:
+        os.makedirs(d / sub)
+    for i in range(24):
+        PIL.Image.new("RGB", (64, 48)).save(d / "rgb" / f"f{i:04d}.jpg")
+        np.save(d / "depth" / f"f{i:04d}.npy",
+                np.full((48, 64), 4.0, np.float32))
+        np.savez(d / "cam" / f"f{i:04d}.npz", pose=_pose(i), intrinsic=_K)
+        sky = np.zeros((48, 64), np.uint8)
+        sky[:8] = 255
+        cv2.imwrite(str(d / "sky_mask" / f"f{i:04d}.jpg"), sky)
+    ds = MapFree(str(tmp_path / "mf"), resolution=(64, 48))
+    assert len(ds) == 24
+    v = ds._get_views(0, 1, (64, 48), np.random.default_rng(0))
+    dep = v[0]["depthmap"]
+    assert (dep[:8] == 0).all() and (dep[10:] > 0).all()
+
+
+def test_infinigen_layout_and_instance_ids(tmp_path):
+    """`infinigen.py:127-175,381-414`: frames/{Image,Depth,camview,
+    ObjectSegmentation}/camera_0 tree, camview npz `T`/`K` keys, object
+    segmentation attached as compacted ``instance_ids``."""
+    from iggt_official_tpu.data.datasets import Infinigen
+
+    d = tmp_path / "ig" / "scans" / "scene_a" / "sub0" / "frames"
+    for sub in ["Image", "Depth", "camview", "ObjectSegmentation"]:
+        os.makedirs(d / sub / "camera_0")
+    for i in range(24):
+        PIL.Image.new("RGB", (64, 48)).save(
+            d / "Image" / "camera_0" / f"Image_{i:04d}.png")
+        np.save(d / "Depth" / "camera_0" / f"Depth_{i:04d}.npy",
+                np.full((48, 64), 2.0, np.float32))
+        np.savez(d / "camview" / "camera_0" / f"camview_{i:04d}.npz",
+                 T=_pose(i), K=_K)
+        seg = np.zeros((48, 64), np.int64)
+        seg[:, 32:] = 987654321  # raw object hash ids
+        np.save(d / "ObjectSegmentation" / "camera_0"
+                / f"ObjectSegmentation_{i:04d}.npy", seg)
+    ds = Infinigen(str(tmp_path / "ig"), resolution=(64, 48))
+    assert len(ds) == 24
+    v = ds._get_views(0, 1, (64, 48), np.random.default_rng(0))
+    assert set(np.unique(v[0]["instance_ids"])) == {0, 1}
+
+
+def test_unreal4k_axis_swap(tmp_path):
+    """`unreal4k.py:25,113-141`: nested flat dirs, npz `cam2world`
+    premultiplied by the x<->y swap R_conv."""
+    from iggt_official_tpu.data.datasets import Unreal4k
+
+    R_conv = np.array(
+        [[0, 1, 0, 0], [1, 0, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float32
+    )
+    d = tmp_path / "u4" / "scans" / "s0" / "sub0"
+    os.makedirs(d)
+    for i in range(24):
+        PIL.Image.new("RGB", (64, 48)).save(d / f"f{i:04d}.png")
+        np.save(d / f"f{i:04d}.npy", np.full((48, 64), 2.0, np.float32))
+        np.savez(d / f"cam_{i:04d}.npz",
+                 cam2world=np.linalg.inv(R_conv) @ _pose(i), intrinsics=_K)
+    ds = Unreal4k(str(tmp_path / "u4"), resolution=(64, 48))
+    assert len(ds) == 24
+    np.testing.assert_allclose(ds.all_extrinsic[4], _pose(4), atol=1e-6)
+
+
+def test_carla_shared_params_and_time_dirs(tmp_path):
+    """`carla.py:55-67,160-195`: per-scene params/ json cameras shared
+    across <time>/rgb|depth captures, UE->OpenCV diag(1,-1,-1) flip,
+    uint16 depth at 65535/1000 m."""
+    import cv2
+    import json as _json
+
+    from iggt_official_tpu.data.datasets import Carla
+
+    d = tmp_path / "ca" / "scans" / "town0"
+    os.makedirs(d / "params")
+    rot = np.eye(4, dtype=np.float32)
+    rot[1, 1] = rot[2, 2] = -1
+    for c in range(3):
+        with open(d / "params" / f"camera_{c}.json", "w",
+                  encoding="utf-8") as f:
+            _json.dump(dict(intrinsic=_K.tolist(),
+                            extrinsic=(rot @ _pose(c)).tolist()), f)
+    for t in ["000", "001"]:
+        os.makedirs(d / t / "rgb")
+        os.makedirs(d / t / "depth")
+        for c in range(3):
+            PIL.Image.new("RGB", (64, 48)).save(
+                d / t / "rgb" / f"camera_{c}.png")
+            cv2.imwrite(str(d / t / "depth" / f"camera_{c}.png"),
+                        np.full((48, 64), 6554, np.uint16))
+    ds = Carla(str(tmp_path / "ca"), resolution=(64, 48))
+    assert len(ds) == 6
+    np.testing.assert_allclose(ds.all_extrinsic[1], _pose(1), atol=1e-6)
+    v = ds._get_views(0, 1, (64, 48), np.random.default_rng(0))
+    np.testing.assert_allclose(
+        v[0]["depthmap"][0, 0], 6554 / 65535 * 1000, rtol=1e-4
+    )
+
+
+def test_wildrgb_scenes_glob_and_mm_depth(tmp_path):
+    """`wildrgb.py:116-147,228-231`: */scenes/* nesting, metadata npz
+    `camera_pose`/`camera_intrinsics`, mm/1000 png depth, z_far 50."""
+    import cv2
+
+    from iggt_official_tpu.data.datasets import Wildrgb
+
+    d = tmp_path / "wr" / "scans" / "cat0" / "scenes" / "sc0"
+    for sub in ["rgb", "depth", "metadata"]:
+        os.makedirs(d / sub)
+    for i in range(24):
+        PIL.Image.new("RGB", (64, 48)).save(d / "rgb" / f"f{i:04d}.jpg")
+        cv2.imwrite(str(d / "depth" / f"f{i:04d}.png"),
+                    np.full((48, 64), 3000, np.uint16))
+        np.savez(d / "metadata" / f"f{i:04d}.npz",
+                 camera_pose=_pose(i), camera_intrinsics=_K)
+    ds = Wildrgb(str(tmp_path / "wr"), resolution=(64, 48))
+    assert len(ds) == 24 and ds.z_far == 50
+    v = ds._get_views(0, 1, (64, 48), np.random.default_rng(0))
+    np.testing.assert_allclose(v[0]["depthmap"][0, 0], 3.0)
+
+
+def test_tartanair_flat_depth_suffix(tmp_path):
+    """`tartanair.py:116-145`: flat sequence dirs, *.png rgb with
+    `*depth.npy` depth and per-frame `camera_pose` npz."""
+    from iggt_official_tpu.data.datasets import TarTanAir
+
+    d = tmp_path / "ta" / "scans" / "seq0"
+    os.makedirs(d)
+    for i in range(24):
+        PIL.Image.new("RGB", (64, 48)).save(d / f"{i:04d}.png")
+        np.save(d / f"{i:04d}depth.npy", np.full((48, 64), 5.0, np.float32))
+        np.savez(d / f"{i:04d}.npz",
+                 camera_pose=_pose(i), camera_intrinsics=_K)
+    ds = TarTanAir(str(tmp_path / "ta"), resolution=(64, 48))
+    assert len(ds) == 24
+    v = ds._get_views(0, 1, (64, 48), np.random.default_rng(0))
+    np.testing.assert_allclose(v[0]["depthmap"][0, 0], 5.0)
