@@ -53,6 +53,38 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(AXIS_DATA, AXIS_SEQ))
 
 
+def fsdp_spec(shape: Sequence[int], n_shards: int) -> P:
+    """FSDP partition spec for one parameter: shard the largest axis
+    divisible by the data-axis size (the standard JAX FSDP recipe — GSPMD
+    then all-gathers weights just-in-time per layer and reduce-scatters
+    gradients, cutting per-device param+optimizer memory ~n_data-fold)."""
+    if not shape:
+        return P()
+    cands = [i for i, s in enumerate(shape) if s % n_shards == 0 and s >= n_shards]
+    if not cands:
+        return P()
+    axis = max(cands, key=lambda i: shape[i])
+    spec = [None] * len(shape)
+    spec[axis] = AXIS_DATA
+    return P(*spec)
+
+
+def fsdp_sharding(mesh: Mesh, tree) -> object:
+    """NamedSharding pytree for params (or a whole TrainState): every array
+    leaf sharded per :func:`fsdp_spec` over the "data" axis; non-array /
+    scalar leaves replicated.  Optimizer moments follow their parameters
+    automatically because optax state mirrors the param tree."""
+    n = mesh.shape[AXIS_DATA]
+
+    def leaf_sharding(x):
+        shape = getattr(x, "shape", None)
+        if shape is None:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, fsdp_spec(shape, n))
+
+    return jax.tree.map(leaf_sharding, tree)
+
+
 def make_token_sharder(mesh: Mesh) -> Callable:
     """Constraint hook for the Aggregator's frame/global reshapes.
 

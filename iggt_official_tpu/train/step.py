@@ -159,14 +159,26 @@ def make_train_step(
     model,
     mesh: Optional[Mesh] = None,
     loss_weights: Optional[Dict[str, float]] = None,
+    fsdp: bool = False,
+    example_state: Optional[TrainState] = None,
 ) -> Callable:
     """Build the (optionally pjit-sharded) train step.
 
     batch dict: images (B,S,H,W,3) + any of pose_enc (B,S,9),
     depth (B,S,H,W,1), world_points (B,S,H,W,3), valid_mask (B,S,H,W),
-    instance_ids (B,S,H,W).  Batch is sharded (data, seq); params and
-    optimizer state are replicated; GSPMD psums the gradients (the DDP
-    equivalent) and all-gathers global-attention k/v over "seq".
+    instance_ids (B,S,H,W).  Batch is sharded (data, seq).
+
+    ``fsdp=False``: params and optimizer state are replicated; GSPMD psums
+    the gradients (the DDP equivalent) and all-gathers global-attention
+    k/v over "seq".
+
+    ``fsdp=True`` (requires ``example_state`` for leaf shapes): params and
+    optimizer moments are sharded over the "data" axis per
+    :func:`~iggt_official_tpu.parallel.mesh.fsdp_spec`; GSPMD all-gathers
+    weights just-in-time per layer and reduce-scatters gradients, cutting
+    per-device parameter+optimizer memory ~n_data-fold (ZeRO-3
+    equivalent, no reference counterpart — the reference trains DDP-only,
+    `utils/dist.py:19-80`).
     """
     shard_fn = make_token_sharder(mesh) if mesh is not None else None
     if mesh is not None:
@@ -202,6 +214,18 @@ def make_train_step(
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
+
+    if fsdp:
+        assert example_state is not None, "fsdp=True needs example_state"
+        from iggt_official_tpu.parallel.mesh import fsdp_sharding
+
+        state_shardings = fsdp_sharding(mesh, example_state)
+        return jax.jit(
+            step,
+            in_shardings=(state_shardings, batch_sharding(mesh)),
+            out_shardings=(state_shardings, replicated(mesh)),
+            donate_argnums=(0,),
+        )
 
     # pytree-prefix shardings: state fully replicated (grads psum'd by
     # GSPMD — the DDP equivalent), every batch tensor (data, seq)-sharded

@@ -90,6 +90,33 @@ def test_sharded_train_step(mesh):
     )
     assert delta > 0
 
+    # --- FSDP variant: params + optimizer moments sharded over "data" ---
+    from iggt_official_tpu.parallel.mesh import fsdp_sharding
+
+    params2 = jax.tree.map(jnp.asarray, params_before)
+    state2 = TrainState.create(params2, tx)
+    state2 = jax.device_put(state2, fsdp_sharding(mesh, state2))
+    # at least one large leaf must actually be sharded over the data axis
+    leaves = [x for x in jax.tree.leaves(state2.params) if x.size >= 64]
+    assert any(
+        not x.sharding.is_fully_replicated for x in leaves
+    ), "fsdp_sharding left every large param replicated"
+
+    fsdp_step = make_train_step(
+        model, mesh=mesh, fsdp=True, example_state=state2
+    )
+    new_state2, metrics2 = fsdp_step(state2, sharded)
+    assert int(new_state2.step) == 1
+    # sharded-state updates must match the replicated (DDP-equivalent)
+    # step up to collective reduction-order noise through the bf16 trunk
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-3
+        ),
+        new_state2.params,
+        new_state.params,
+    )
+
 
 def test_graft_entry_dryrun():
     import __graft_entry__ as g
