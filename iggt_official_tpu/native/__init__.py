@@ -65,7 +65,14 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), i64,
         ctypes.POINTER(ctypes.c_float), i64, i64, ctypes.POINTER(i64),
     ]
-    for fn in (lib.ccl2d, lib.wdbscan, lib.nn1):
+    f64 = ctypes.POINTER(ctypes.c_double)
+    lib.hdbscan_mst_labels.argtypes = [
+        ctypes.POINTER(i64), ctypes.POINTER(i64), f64, i64,
+        f64, f64, i64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+        ctypes.POINTER(i64),
+    ]
+    for fn in (lib.ccl2d, lib.wdbscan, lib.nn1, lib.hdbscan_mst_labels):
         fn.restype = None
     return lib
 
@@ -123,6 +130,40 @@ def weighted_dbscan(
         _ptr(points, ctypes.c_float), _ptr(weights, ctypes.c_int64),
         n, d, ctypes.c_float(eps), int(min_samples),
         _ptr(labels, ctypes.c_int64),
+    )
+    return labels
+
+
+def hdbscan_mst_labels(
+    edge_a: np.ndarray,
+    edge_b: np.ndarray,
+    edge_d: np.ndarray,
+    weights: np.ndarray,
+    core: np.ndarray,
+    eps: float,
+    min_cluster_size: float,
+    allow_single_cluster: bool = False,
+) -> np.ndarray:
+    """Weighted-HDBSCAN labels from mutual-reachability MST edges —
+    semantics of ops/cluster.py::weighted_hdbscan past the MST step."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native postproc library unavailable")
+    edge_a = np.ascontiguousarray(edge_a, np.int64)
+    edge_b = np.ascontiguousarray(edge_b, np.int64)
+    edge_d = np.ascontiguousarray(edge_d, np.float64)
+    weights = np.ascontiguousarray(weights, np.float64)
+    core = np.ascontiguousarray(core, np.float64)
+    K = weights.shape[0]
+    labels = np.empty(K, np.int64)
+    i64, f64 = ctypes.c_int64, ctypes.c_double
+    lib.hdbscan_mst_labels(
+        _ptr(edge_a, i64), _ptr(edge_b, i64), _ptr(edge_d, f64),
+        int(edge_a.shape[0]),
+        _ptr(weights, f64), _ptr(core, f64), int(K),
+        ctypes.c_double(eps), ctypes.c_double(min_cluster_size),
+        ctypes.c_int32(1 if allow_single_cluster else 0),
+        _ptr(labels, i64),
     )
     return labels
 

@@ -17,7 +17,9 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <numeric>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -252,6 +254,280 @@ EXPORT void nn1(const float* ref, int64_t n_ref, const float* query, int64_t n_q
     tree.nearest(query + i * d, 0, n_ref, best, best_d2);
     out_idx[i] = best;
   }
+}
+
+// ---------------------------------------------------------------------------
+// Weighted-HDBSCAN labelling from a precomputed mutual-reachability MST.
+//
+// Op-for-op port of ops/cluster.py::{_weighted_single_linkage (dendrogram
+// half), weighted_hdbscan (condensed tree + stability + excess-of-mass +
+// Malzer-Baum epsilon + labels)} — the Python path is the tested spec and
+// stays as the fallback; this kernel removes its ~20 s of interpreter time
+// at the demo-scale 150k-sample workload.  Tie behaviour matches because
+// both sides stable-sort edges in identical input order.
+//
+// Inputs: MST edges (a, b, d) in scipy tocoo() order, per-point weights and
+// core distances, eps / min_cluster_size / allow_single_cluster.
+// Output: labels (K,) int64, -1 = noise.
+EXPORT void hdbscan_mst_labels(
+    const int64_t* edge_a, const int64_t* edge_b, const double* edge_d,
+    int64_t n_edges, const double* weights, const double* core, int64_t K,
+    double eps, double min_cluster_size, int32_t allow_single_cluster,
+    int64_t* labels) {
+  const double INF = std::numeric_limits<double>::infinity();
+  struct Edge { double d; int64_t a, b; };
+  std::vector<Edge> edges;
+  edges.reserve(n_edges + 16);
+  for (int64_t i = 0; i < n_edges; ++i)
+    edges.push_back({edge_d[i], edge_a[i], edge_b[i]});
+
+  // join disconnected components at +inf (first-arg-wins union-find, reps
+  // ascending, all joined to the smallest rep — cluster.py:211-217)
+  {
+    // cluster.py's _UnionFind attaches rb under ra (first-arg-wins);
+    // replicate that exactly with a plain parent array:
+    std::vector<int64_t> parent(K);
+    std::iota(parent.begin(), parent.end(), 0);
+    auto find = [&](int64_t x) {
+      int64_t root = x;
+      while (parent[root] != root) root = parent[root];
+      while (parent[x] != root) { int64_t nx = parent[x]; parent[x] = root; x = nx; }
+      return root;
+    };
+    for (const auto& e : edges) {
+      int64_t ra = find(e.a), rb = find(e.b);
+      if (ra != rb) parent[rb] = ra;
+    }
+    std::vector<int64_t> reps;
+    for (int64_t i = 0; i < K; ++i) if (find(i) == i) reps.push_back(i);
+    std::sort(reps.begin(), reps.end());
+    for (size_t i = 1; i < reps.size(); ++i)
+      edges.push_back({INF, reps[0], reps[i]});
+  }
+  std::stable_sort(edges.begin(), edges.end(),
+                   [](const Edge& x, const Edge& y) { return x.d < y.d; });
+
+  // --- single-linkage dendrogram (cluster.py:219-235) ----------------
+  const int64_t n_nodes = 2 * K - 1;
+  std::vector<int64_t> left(K - 1), right(K - 1);
+  std::vector<double> zdist(K - 1);
+  std::vector<double> wsize(n_nodes);
+  for (int64_t i = 0; i < K; ++i) wsize[i] = weights[i];
+  {
+    std::vector<int64_t> parent(n_nodes);
+    std::iota(parent.begin(), parent.end(), 0);
+    auto find = [&](int64_t x) {
+      int64_t root = x;
+      while (parent[root] != root) root = parent[root];
+      while (parent[x] != root) { int64_t nx = parent[x]; parent[x] = root; x = nx; }
+      return root;
+    };
+    std::vector<int64_t> comp_node(K);
+    std::iota(comp_node.begin(), comp_node.end(), 0);
+    int64_t nxt = K;
+    for (const auto& e : edges) {
+      int64_t ra = find(e.a), rb = find(e.b);
+      if (ra == rb) continue;
+      int64_t na = comp_node[ra], nb = comp_node[rb];
+      left[nxt - K] = na;
+      right[nxt - K] = nb;
+      zdist[nxt - K] = e.d;
+      wsize[nxt] = wsize[na] + wsize[nb];
+      parent[rb] = ra;  // first-arg-wins, matching _UnionFind.union
+      comp_node[find(ra)] = nxt;
+      ++nxt;
+    }
+    if (nxt != n_nodes) {  // should be unreachable (inf edges span all)
+      for (int64_t i = 0; i < K; ++i) labels[i] = -1;
+      return;
+    }
+  }
+
+  auto lam = [&](double d) {
+    if (d <= 0) return INF;
+    if (!std::isfinite(d)) return 0.0;
+    return 1.0 / d;
+  };
+
+  // --- condensed tree (cluster.py:289-346), traversal order mirrored --
+  std::vector<int64_t> parent_c{-1};
+  std::vector<double> lam_birth{0.0};
+  std::vector<int64_t> fall_point, fall_cluster;
+  std::vector<double> fall_lam;
+  fall_point.reserve(K);
+  fall_cluster.reserve(K);
+  fall_lam.reserve(K);
+  std::vector<std::pair<int64_t, int64_t>> stack{{n_nodes - 1, 0}};
+  std::vector<int64_t> sub;
+  auto spill = [&](int64_t start, int64_t cl, double ld) {
+    sub.clear();
+    sub.push_back(start);
+    while (!sub.empty()) {
+      int64_t s = sub.back();
+      sub.pop_back();
+      if (s < K) {
+        fall_point.push_back(s);
+        fall_cluster.push_back(cl);
+        fall_lam.push_back(ld);
+      } else {
+        sub.push_back(left[s - K]);
+        sub.push_back(right[s - K]);
+      }
+    }
+  };
+  while (!stack.empty()) {
+    auto [node, cl] = stack.back();
+    stack.pop_back();
+    if (node < K) {
+      fall_point.push_back(node);
+      fall_cluster.push_back(cl);
+      fall_lam.push_back(lam(std::max(core[node], 0.0)));
+      continue;
+    }
+    int64_t i = node - K;
+    int64_t l = left[i], r = right[i];
+    double ld = lam(zdist[i]);
+    bool big_l = wsize[l] >= min_cluster_size;
+    bool big_r = wsize[r] >= min_cluster_size;
+    if (big_l && big_r) {
+      int64_t cl_l = static_cast<int64_t>(parent_c.size());
+      parent_c.push_back(cl);
+      lam_birth.push_back(ld);
+      int64_t cl_r = static_cast<int64_t>(parent_c.size());
+      parent_c.push_back(cl);
+      lam_birth.push_back(ld);
+      stack.push_back({l, cl_l});
+      stack.push_back({r, cl_r});
+    } else if (big_l || big_r) {
+      int64_t big = big_l ? l : r;
+      int64_t small = big_l ? r : l;
+      spill(small, cl, ld);
+      stack.push_back({big, cl});
+    } else {
+      // both small: cluster.py:335-345 spills l then r through one stack
+      sub.clear();
+      sub.push_back(l);
+      sub.push_back(r);
+      while (!sub.empty()) {
+        int64_t s = sub.back();
+        sub.pop_back();
+        if (s < K) {
+          fall_point.push_back(s);
+          fall_cluster.push_back(cl);
+          fall_lam.push_back(ld);
+        } else {
+          sub.push_back(left[s - K]);
+          sub.push_back(right[s - K]);
+        }
+      }
+    }
+  }
+  const int64_t n_cl = static_cast<int64_t>(parent_c.size());
+
+  // --- stability (cluster.py:353-371) --------------------------------
+  double finite_max = 1.0;
+  bool any_finite = false;
+  for (double f : fall_lam)
+    if (std::isfinite(f)) {
+      finite_max = any_finite ? std::max(finite_max, f) : f;
+      any_finite = true;
+    }
+  std::vector<double> stab(n_cl, 0.0), child_mass(n_cl, 0.0);
+  for (size_t j = 0; j < fall_point.size(); ++j) {
+    double w = weights[fall_point[j]];
+    double fl = std::isfinite(fall_lam[j]) ? fall_lam[j] : finite_max;
+    stab[fall_cluster[j]] += w * (fl - lam_birth[fall_cluster[j]]);
+    child_mass[fall_cluster[j]] += w;
+  }
+  std::vector<double> total_mass = child_mass;
+  for (int64_t c = n_cl - 1; c >= 1; --c) total_mass[parent_c[c]] += total_mass[c];
+  for (int64_t c = 1; c < n_cl; ++c) {
+    int64_t p = parent_c[c];
+    stab[p] += total_mass[c] * (lam_birth[c] - lam_birth[p]);
+  }
+
+  // --- excess-of-mass selection (cluster.py:374-398) -----------------
+  std::vector<std::vector<int64_t>> children(n_cl);
+  for (int64_t c = 1; c < n_cl; ++c) children[parent_c[c]].push_back(c);
+  std::vector<uint8_t> selected(n_cl, 0);
+  std::vector<double> subtree_stab(n_cl, 0.0);
+  for (int64_t c = n_cl - 1; c >= 0; --c) {
+    if (children[c].empty()) {
+      selected[c] = 1;
+      subtree_stab[c] = stab[c];
+      continue;
+    }
+    double child_sum = 0.0;
+    for (int64_t ch : children[c]) child_sum += subtree_stab[ch];
+    if (stab[c] > child_sum && (c != 0 || allow_single_cluster)) {
+      selected[c] = 1;
+      sub.assign(children[c].begin(), children[c].end());
+      while (!sub.empty()) {
+        int64_t s = sub.back();
+        sub.pop_back();
+        selected[s] = 0;
+        sub.insert(sub.end(), children[s].begin(), children[s].end());
+      }
+      subtree_stab[c] = stab[c];
+    } else {
+      subtree_stab[c] = child_sum;
+    }
+  }
+  if (!allow_single_cluster) selected[0] = 0;
+
+  // --- cluster_selection_epsilon, Malzer-Baum (cluster.py:401-429) ----
+  if (eps > 0) {
+    std::vector<int64_t> snapshot;
+    for (int64_t c = 0; c < n_cl; ++c) if (selected[c]) snapshot.push_back(c);
+    for (int64_t c : snapshot) {
+      double birth_dist = lam_birth[c] == 0 ? INF : 1.0 / lam_birth[c];
+      if (birth_dist >= eps) continue;
+      int64_t anc = c;
+      while (anc != 0) {
+        int64_t p = parent_c[anc];
+        double p_birth = lam_birth[p] == 0 ? INF : 1.0 / lam_birth[p];
+        anc = p;
+        if (p_birth >= eps) break;
+      }
+      if (anc == 0 && !allow_single_cluster) {
+        anc = c;
+        while (parent_c[anc] != 0) anc = parent_c[anc];
+      }
+      selected[c] = 0;
+      selected[anc] = 1;
+    }
+    snapshot.clear();
+    for (int64_t c = 0; c < n_cl; ++c) if (selected[c]) snapshot.push_back(c);
+    for (int64_t c : snapshot) {
+      sub.assign(children[c].begin(), children[c].end());
+      while (!sub.empty()) {
+        int64_t s = sub.back();
+        sub.pop_back();
+        if (selected[s]) selected[s] = 0;
+        sub.insert(sub.end(), children[s].begin(), children[s].end());
+      }
+    }
+  }
+
+  // --- labels (cluster.py:432-449) -----------------------------------
+  std::vector<int64_t> sel_anc(n_cl, -1);
+  for (int64_t c = 0; c < n_cl; ++c) {
+    if (selected[c]) sel_anc[c] = c;
+    else if (parent_c[c] >= 0) sel_anc[c] = sel_anc[parent_c[c]];
+  }
+  for (int64_t i = 0; i < K; ++i) labels[i] = -1;
+  for (size_t j = 0; j < fall_point.size(); ++j)
+    labels[fall_point[j]] = sel_anc[fall_cluster[j]];
+  std::vector<uint8_t> used(n_cl, 0);
+  for (int64_t i = 0; i < K; ++i)
+    if (labels[i] >= 0) used[labels[i]] = 1;
+  std::vector<int64_t> remap(n_cl, -1);
+  int64_t next_label = 0;
+  // kept ids ascending == np.unique order
+  for (int64_t c = 0; c < n_cl; ++c)
+    if (used[c]) remap[c] = next_label++;
+  for (int64_t i = 0; i < K; ++i)
+    if (labels[i] >= 0) labels[i] = remap[labels[i]];
 }
 
 }  // extern "C"

@@ -188,24 +188,19 @@ def _weighted_core_distances(
     return core, dist, idx
 
 
-def _weighted_single_linkage(
-    points: np.ndarray,
+def _mreach_mst(
     weights: np.ndarray,
     core: np.ndarray,
     knn_dist: np.ndarray,
     knn_idx: np.ndarray,
-) -> np.ndarray:
-    """Single-linkage dendrogram over the mutual-reachability kNN graph.
-
-    Returns linkage Z (K-1, 4): [left, right, distance, weighted size],
-    node ids like scipy (leaves 0..K-1, merge i -> K+i).  Disconnected
-    components are joined by +inf edges (they never truly merge; the
-    condensed tree treats the inf-distance root splits as lambda=0).
-    """
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Mutual-reachability kNN graph -> MST edges (a, b, d) in scipy
+    ``tocoo`` order (row-major), shared by the native and Python
+    labelling backends so their tie-breaking matches."""
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import minimum_spanning_tree
 
-    K = points.shape[0]
+    K = core.shape[0]
     src = np.repeat(np.arange(K), knn_idx.shape[1])
     dst = knn_idx.reshape(-1)
     d = knn_dist.reshape(-1)
@@ -217,7 +212,28 @@ def _weighted_single_linkage(
         (mreach[sel], (src[sel], dst[sel])), shape=(K, K)
     ).tocsr()
     mst = minimum_spanning_tree(graph).tocoo()
-    edges = list(zip(mst.data, mst.row, mst.col))
+    return (
+        mst.row.astype(np.int64),
+        mst.col.astype(np.int64),
+        mst.data.astype(np.float64),
+    )
+
+
+def _weighted_single_linkage(
+    weights: np.ndarray,
+    edge_a: np.ndarray,
+    edge_b: np.ndarray,
+    edge_d: np.ndarray,
+) -> np.ndarray:
+    """Single-linkage dendrogram over precomputed MST edges.
+
+    Returns linkage Z (K-1, 4): [left, right, distance, weighted size],
+    node ids like scipy (leaves 0..K-1, merge i -> K+i).  Disconnected
+    components are joined by +inf edges (they never truly merge; the
+    condensed tree treats the inf-distance root splits as lambda=0).
+    """
+    K = weights.shape[0]
+    edges = list(zip(edge_d, edge_a, edge_b))
 
     # join remaining components (and isolated/inf-core cells) at +inf
     uf = _UnionFind(K)
@@ -268,7 +284,20 @@ def weighted_hdbscan(
     core, knn_dist, knn_idx = _weighted_core_distances(
         points, weights, min_samples
     )
-    Z = _weighted_single_linkage(points, weights, core, knn_dist, knn_idx)
+    edge_a, edge_b, edge_d = _mreach_mst(weights, core, knn_dist, knn_idx)
+
+    from iggt_official_tpu import native
+
+    if native.available():
+        # C++ port of everything below (dendrogram + condensed tree +
+        # EOM/epsilon selection); the Python path is the tested spec and
+        # the fallback — tests assert they agree
+        return native.hdbscan_mst_labels(
+            edge_a, edge_b, edge_d, weights, core,
+            float(eps), float(min_cluster_size), allow_single_cluster,
+        )
+
+    Z = _weighted_single_linkage(weights, edge_a, edge_b, edge_d)
 
     # --- condensed tree (top-down), weighted min_cluster_size ---------
     # Arrays indexed by condensed-cluster id:
