@@ -72,6 +72,16 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_double, ctypes.c_int32,
         ctypes.POINTER(i64),
     ]
+    lib.mst_from_edges.argtypes = [
+        ctypes.POINTER(i64), ctypes.POINTER(i64), f64, i64, i64,
+        ctypes.POINTER(i64), ctypes.POINTER(i64), f64,
+    ]
+    lib.mst_from_edges.restype = i64
+    lib.mst_knn.argtypes = [
+        f64, ctypes.POINTER(i64), f64, i64, i64,
+        ctypes.POINTER(i64), ctypes.POINTER(i64), f64,
+    ]
+    lib.mst_knn.restype = i64
     for fn in (lib.ccl2d, lib.wdbscan, lib.nn1, lib.hdbscan_mst_labels):
         fn.restype = None
     return lib
@@ -166,6 +176,59 @@ def hdbscan_mst_labels(
         _ptr(labels, i64),
     )
     return labels
+
+
+def mst_from_edges(
+    src: np.ndarray, dst: np.ndarray, w: np.ndarray, n_vertices: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Minimum spanning forest (Boruvka) of an undirected sparse graph.
+
+    Returns (a, b, d) edge arrays of the forest (<= n_vertices - 1 edges),
+    endpoints as given (not canonicalized).  Replaces
+    scipy.sparse.csgraph.minimum_spanning_tree in ops/cluster.py."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native postproc library unavailable")
+    src = np.ascontiguousarray(src, np.int64)
+    dst = np.ascontiguousarray(dst, np.int64)
+    w = np.ascontiguousarray(w, np.float64)
+    cap = max(int(n_vertices) - 1, 1)
+    out_a = np.empty(cap, np.int64)
+    out_b = np.empty(cap, np.int64)
+    out_d = np.empty(cap, np.float64)
+    i64, f64 = ctypes.c_int64, ctypes.c_double
+    n = lib.mst_from_edges(
+        _ptr(src, i64), _ptr(dst, i64), _ptr(w, f64),
+        int(src.shape[0]), int(n_vertices),
+        _ptr(out_a, i64), _ptr(out_b, i64), _ptr(out_d, f64),
+    )
+    return out_a[:n], out_b[:n], out_d[:n]
+
+
+def mst_knn(
+    knn_dist: np.ndarray, knn_idx: np.ndarray, core: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Mutual-reachability minimum spanning forest straight from (K, k)
+    kNN arrays + core distances; fuses the mreach edge construction into
+    the Boruvka pass (ops/cluster.py::_mreach_mst fast path)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native postproc library unavailable")
+    knn_dist = np.ascontiguousarray(knn_dist, np.float64)
+    knn_idx = np.ascontiguousarray(knn_idx, np.int64)
+    core = np.ascontiguousarray(core, np.float64)
+    K, k = knn_idx.shape
+    cap = max(K - 1, 1)
+    out_a = np.empty(cap, np.int64)
+    out_b = np.empty(cap, np.int64)
+    out_d = np.empty(cap, np.float64)
+    i64, f64 = ctypes.c_int64, ctypes.c_double
+    n = lib.mst_knn(
+        _ptr(knn_dist, f64), _ptr(knn_idx, i64), _ptr(core, f64),
+        int(K), int(k),
+        _ptr(out_a, i64), _ptr(out_b, i64), _ptr(out_d, f64),
+    )
+    return out_a[:n], out_b[:n], out_d[:n]
 
 
 def nearest_neighbor(ref: np.ndarray, query: np.ndarray) -> np.ndarray:

@@ -531,3 +531,136 @@ EXPORT void hdbscan_mst_labels(
 }
 
 }  // extern "C"
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Minimum spanning forest of a sparse undirected graph (Boruvka with
+// per-round edge compaction).
+//
+// Replaces scipy.sparse.csgraph.minimum_spanning_tree in
+// ops/cluster.py::_mreach_mst: the mutual-reachability kNN graph at the
+// 150k-sample clustering scale (~15M edges) costs ~6 s through scipy
+// (COO->CSR symmetrization + Prim) and runs here in <1 s single-threaded.
+// Ties are broken by original edge index (a total order, which keeps
+// Boruvka cycle-free and the result deterministic).  Returns the number of
+// forest edges written (K-1 when the graph is connected); `orig(eid, a, b)`
+// recovers the ORIGINAL endpoint ids of an edge; edges are emitted in
+// per-round discovery order, which the labelling stage re-sorts anyway.
+template <class OrigFn>
+int64_t boruvka_forest(std::vector<int64_t>& ea, std::vector<int64_t>& eb,
+                       std::vector<double>& ew, std::vector<int64_t>& eid,
+                       int64_t K, OrigFn orig, int64_t* out_a,
+                       int64_t* out_b, double* out_d) {
+  std::vector<int64_t> parent(K);
+  std::iota(parent.begin(), parent.end(), 0);
+  auto find = [&](int64_t x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];  // path halving
+      x = parent[x];
+    }
+    return x;
+  };
+
+  std::vector<int64_t> best(K, -1);
+  std::vector<int64_t> touched;
+  touched.reserve(K);
+  int64_t n_out = 0;
+  int64_t m = static_cast<int64_t>(ea.size());
+  while (m > 0) {
+    // min outgoing edge per component (lexicographic (w, original index))
+    touched.clear();
+    for (int64_t i = 0; i < m; ++i) {
+      for (int64_t r : {ea[i], eb[i]}) {
+        int64_t& b = best[r];
+        if (b < 0) {
+          b = i;
+          touched.push_back(r);
+        } else if (ew[i] < ew[b] || (ew[i] == ew[b] && eid[i] < eid[b])) {
+          b = i;
+        }
+      }
+    }
+    if (touched.empty()) break;
+    for (int64_t r : touched) {
+      int64_t e = best[r];
+      int64_t ra = find(ea[e]), rb = find(eb[e]);
+      if (ra == rb) continue;  // the twin component already merged via e
+      parent[rb] = ra;
+      orig(eid[e], &out_a[n_out], &out_b[n_out]);
+      out_d[n_out] = ew[e];
+      ++n_out;
+    }
+    for (int64_t r : touched) best[r] = -1;
+    // compact to inter-component edges, endpoints relabelled to roots
+    int64_t nm = 0;
+    for (int64_t i = 0; i < m; ++i) {
+      int64_t ra = find(ea[i]), rb = find(eb[i]);
+      if (ra == rb) continue;
+      ea[nm] = ra;
+      eb[nm] = rb;
+      ew[nm] = ew[i];
+      eid[nm] = eid[i];
+      ++nm;
+    }
+    m = nm;
+  }
+  return n_out;
+}
+
+}  // namespace
+
+extern "C" {
+
+EXPORT int64_t mst_from_edges(
+    const int64_t* src, const int64_t* dst, const double* w, int64_t n_edges,
+    int64_t K, int64_t* out_a, int64_t* out_b, double* out_d) {
+  std::vector<int64_t> ea(src, src + n_edges), eb(dst, dst + n_edges);
+  std::vector<double> ew(w, w + n_edges);
+  std::vector<int64_t> eid(n_edges);
+  std::iota(eid.begin(), eid.end(), 0);
+  return boruvka_forest(
+      ea, eb, ew, eid, K,
+      [&](int64_t e, int64_t* a, int64_t* b) { *a = src[e]; *b = dst[e]; },
+      out_a, out_b, out_d);
+}
+
+// Mutual-reachability MST straight from the (K, k) kNN arrays — fuses the
+// edge construction (mreach = max(d, core[src], core[dst]), drop self/inf)
+// that costs ~5 s of numpy temporaries at 15M edges into the same pass.
+EXPORT int64_t mst_knn(
+    const double* knn_dist, const int64_t* knn_idx, const double* core,
+    int64_t K, int64_t k, int64_t* out_a, int64_t* out_b, double* out_d) {
+  const int64_t n = K * k;
+  std::vector<int64_t> ea, eb, eid;
+  std::vector<double> ew;
+  ea.reserve(n);
+  eb.reserve(n);
+  eid.reserve(n);
+  ew.reserve(n);
+  for (int64_t i = 0; i < K; ++i) {
+    const double ci = core[i];
+    for (int64_t j = 0; j < k; ++j) {
+      const int64_t dst = knn_idx[i * k + j];
+      if (dst == i) continue;
+      double w = knn_dist[i * k + j];
+      if (w < ci) w = ci;
+      const double cd = core[dst];
+      if (w < cd) w = cd;
+      if (!std::isfinite(w)) continue;
+      ea.push_back(i);
+      eb.push_back(dst);
+      ew.push_back(w);
+      eid.push_back(i * k + j);
+    }
+  }
+  return boruvka_forest(
+      ea, eb, ew, eid, K,
+      [&](int64_t e, int64_t* a, int64_t* b) {
+        *a = e / k;
+        *b = knn_idx[e];
+      },
+      out_a, out_b, out_d);
+}
+
+}  // extern "C"

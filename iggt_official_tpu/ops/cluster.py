@@ -194,20 +194,27 @@ def _mreach_mst(
     knn_dist: np.ndarray,
     knn_idx: np.ndarray,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Mutual-reachability kNN graph -> MST edges (a, b, d) in scipy
-    ``tocoo`` order (row-major), shared by the native and Python
-    labelling backends so their tie-breaking matches."""
+    """Mutual-reachability kNN graph -> MST edges (a, b, d), shared by the
+    native and Python labelling backends so their tie-breaking matches.
+
+    The spanning forest comes from the native Boruvka kernel when built
+    (~10x faster than scipy Prim at 15M edges on one core), else scipy.
+    Tie edges may pick a different (equally minimal) tree between the two
+    backends; both are valid HDBSCAN inputs and each run is deterministic."""
+    from iggt_official_tpu import native
+
+    if native.available():
+        return native.mst_knn(knn_dist, knn_idx, core)
+
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import minimum_spanning_tree
 
     K = core.shape[0]
     src = np.repeat(np.arange(K), knn_idx.shape[1])
-    dst = knn_idx.reshape(-1)
-    d = knn_dist.reshape(-1)
+    dst = np.asarray(knn_idx).reshape(-1).astype(np.int64)
+    d = np.asarray(knn_dist, np.float64).reshape(-1)
     mreach = np.maximum(d, np.maximum(core[src], core[dst]))
-    keep = src != dst
-    finite = np.isfinite(mreach)
-    sel = keep & finite
+    sel = (src != dst) & np.isfinite(mreach)
     graph = coo_matrix(
         (mreach[sel], (src[sel], dst[sel])), shape=(K, K)
     ).tocsr()
@@ -289,14 +296,33 @@ def weighted_hdbscan(
     from iggt_official_tpu import native
 
     if native.available():
-        # C++ port of everything below (dendrogram + condensed tree +
+        # C++ port of _labels_from_mst (dendrogram + condensed tree +
         # EOM/epsilon selection); the Python path is the tested spec and
-        # the fallback — tests assert they agree
+        # the fallback — tests assert they agree on the same MST
         return native.hdbscan_mst_labels(
             edge_a, edge_b, edge_d, weights, core,
             float(eps), float(min_cluster_size), allow_single_cluster,
         )
 
+    return _labels_from_mst(
+        edge_a, edge_b, edge_d, weights, core,
+        eps, min_cluster_size, allow_single_cluster,
+    )
+
+
+def _labels_from_mst(
+    edge_a: np.ndarray,
+    edge_b: np.ndarray,
+    edge_d: np.ndarray,
+    weights: np.ndarray,
+    core: np.ndarray,
+    eps: float,
+    min_cluster_size: int,
+    allow_single_cluster: bool = False,
+) -> np.ndarray:
+    """Pure-Python HDBSCAN labelling from mutual-reachability MST edges
+    (the spec path for native.hdbscan_mst_labels)."""
+    K = weights.shape[0]
     Z = _weighted_single_linkage(weights, edge_a, edge_b, edge_d)
 
     # --- condensed tree (top-down), weighted min_cluster_size ---------

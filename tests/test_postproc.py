@@ -233,6 +233,77 @@ def test_native_nn1_matches_bruteforce():
     np.testing.assert_array_equal(got, want)
 
 
+def test_native_mst_matches_scipy():
+    """Boruvka spanning forest == scipy Prim: same total weight (the MST
+    weight is unique) and same connected components, incl. a disconnected
+    graph (forest case)."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components as scipy_cc
+    from scipy.sparse.csgraph import minimum_spanning_tree
+
+    native = _native()
+    rng = np.random.default_rng(11)
+    K = 3000
+    # two separated blobs -> kNN graph is disconnected
+    pts = np.concatenate([
+        rng.normal(0, 1, (K // 2, 5)),
+        rng.normal(50, 1, (K - K // 2, 5)),
+    ]).astype(np.float32)
+    from sklearn.neighbors import NearestNeighbors
+
+    d, idx = NearestNeighbors(n_neighbors=8).fit(pts).kneighbors(pts)
+    src = np.repeat(np.arange(K), 8)
+    dst = idx.reshape(-1).astype(np.int64)
+    w = d.reshape(-1).astype(np.float64)
+    sel = src != dst
+
+    a, b, dd = native.mst_from_edges(src[sel], dst[sel], w[sel], K)
+
+    graph = coo_matrix((w[sel], (src[sel], dst[sel])), shape=(K, K)).tocsr()
+    ref = minimum_spanning_tree(graph).tocoo()
+    assert len(a) == ref.nnz
+    np.testing.assert_allclose(np.sort(dd), np.sort(ref.data), rtol=1e-12)
+    # identical component structure
+    ours = coo_matrix((dd, (a, b)), shape=(K, K))
+    n1, lab1 = scipy_cc(ours, directed=False)
+    n2, lab2 = scipy_cc(ref, directed=False)
+    assert n1 == n2
+    # same partition up to label renaming
+    import collections
+
+    m = {}
+    for x, y in zip(lab1.tolist(), lab2.tolist()):
+        assert m.setdefault(x, y) == y
+
+
+def test_native_hdbscan_labels_match_python():
+    """Native labelling kernel == pure-Python spec path on the SAME MST
+    (mutual-reachability graphs are full of weight ties, so the MST itself
+    is compared structurally in test_native_mst_matches_scipy; here both
+    labelling backends consume identical edges and must agree exactly)."""
+    from iggt_official_tpu.ops.cluster import (
+        _labels_from_mst, _mreach_mst, _weighted_core_distances)
+
+    native = _native()
+    rng = np.random.default_rng(3)
+    centers = rng.normal(0, 1, (5, 8))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = rng.integers(0, 5, 4000)
+    pts = centers[lab] + 0.03 * rng.normal(size=(4000, 8))
+    pts = (pts / np.linalg.norm(pts, axis=1, keepdims=True)).astype(np.float32)
+    w = rng.integers(1, 5, 4000).astype(np.float64)
+
+    core, kd, ki = _weighted_core_distances(pts, w, 40)
+    ea, eb, ed = _mreach_mst(w, core, kd, ki)
+    for eps, mcs, single in ((0.06, 120, False), (0.0, 50, False),
+                             (0.06, 120, True)):
+        got = native.hdbscan_mst_labels(ea, eb, ed, w, core,
+                                        eps, float(mcs), single)
+        want = _labels_from_mst(ea, eb, ed, w, core, eps, mcs, single)
+        assert len(set(want.tolist()) - {-1}) >= 1
+        np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.slow
 def test_knn_smoothing_recall_at_scale():
     """Morton-window kNN recall on a 300k-point structured room scene
