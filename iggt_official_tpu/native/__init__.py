@@ -36,14 +36,22 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     so_path = os.path.join(_DIR, f"_postproc_{digest}.so")
     if not os.path.exists(so_path):
         tmp = so_path + f".tmp{os.getpid()}"
-        cmd = [
+        base = [
             "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
             "-fvisibility=hidden", _SRC, "-o", tmp,
         ]
+        # -march=native vectorizes the kNN leaf scans (~1.5x); retry
+        # portable if the toolchain rejects it
         try:
-            subprocess.run(
-                cmd, check=True, capture_output=True, timeout=120
-            )
+            try:
+                subprocess.run(
+                    base + ["-march=native"], check=True,
+                    capture_output=True, timeout=120,
+                )
+            except subprocess.CalledProcessError:
+                subprocess.run(
+                    base, check=True, capture_output=True, timeout=120
+                )
             os.replace(tmp, so_path)
         except (OSError, subprocess.SubprocessError):
             return None
@@ -82,6 +90,9 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(i64), ctypes.POINTER(i64), f64,
     ]
     lib.mst_knn.restype = i64
+    f32 = ctypes.POINTER(ctypes.c_float)
+    lib.knn_query.argtypes = [f32, i64, i64, i64, f32, ctypes.POINTER(i64)]
+    lib.knn_query.restype = None
     for fn in (lib.ccl2d, lib.wdbscan, lib.nn1, lib.hdbscan_mst_labels):
         fn.restype = None
     return lib
@@ -229,6 +240,26 @@ def mst_knn(
         _ptr(out_a, i64), _ptr(out_b, i64), _ptr(out_d, f64),
     )
     return out_a[:n], out_b[:n], out_d[:n]
+
+
+def knn_query(points: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact kNN of every point among ``points`` (self included), rows
+    sorted ascending by (distance, index). Returns (dist f32 (n, k),
+    idx i64 (n, k))."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError("native postproc library unavailable")
+    points = np.ascontiguousarray(points, np.float32)
+    n, d = points.shape
+    if not 0 < k <= n:
+        raise ValueError(f"k={k} out of range for n={n}")
+    dist = np.empty((n, k), np.float32)
+    idx = np.empty((n, k), np.int64)
+    lib.knn_query(
+        _ptr(points, ctypes.c_float), int(n), int(d), int(k),
+        _ptr(dist, ctypes.c_float), _ptr(idx, ctypes.c_int64),
+    )
+    return dist, idx
 
 
 def nearest_neighbor(ref: np.ndarray, query: np.ndarray) -> np.ndarray:

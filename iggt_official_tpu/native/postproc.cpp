@@ -135,6 +135,132 @@ struct KDTree {
   }
 };
 
+// ---------------------------------------------------------------------------
+// Bucketed KD-tree for batch exact kNN (ops/cluster.py::_knn host path).
+//
+// Differences from KDTree above (which serves radius/1-NN queries): points
+// are REORDERED into contiguous leaf buckets so the leaf scan is a linear
+// pass the compiler vectorizes, and internal nodes store an explicit split
+// plane. Serves the 150k x 8-D x k~64 clustering workload on one core.
+// ---------------------------------------------------------------------------
+struct KNNTree {
+  static constexpr int64_t kLeaf = 32;
+  int64_t n, d;
+  std::vector<float> pts;    // reordered, contiguous (n, d)
+  std::vector<int64_t> orig; // reordered slot -> original point id
+  struct Node { float split; int32_t axis; };  // axis < 0: leaf
+  std::vector<Node> nodes;   // heap-indexed over [lo,hi) median splits
+
+  KNNTree(const float* src, int64_t n_, int64_t d_) : n(n_), d(d_) {
+    orig.resize(n);
+    std::iota(orig.begin(), orig.end(), 0);
+    std::vector<int64_t> perm = orig;
+    nodes.resize(64);
+    build(src, perm, 0, n, 0);
+    pts.resize(n * d);
+    for (int64_t i = 0; i < n; ++i) {
+      orig[i] = perm[i];
+      std::memcpy(&pts[i * d], src + perm[i] * d, d * sizeof(float));
+    }
+  }
+
+  void build(const float* src, std::vector<int64_t>& perm, int64_t lo,
+             int64_t hi, int64_t node_id) {
+    if (node_id >= static_cast<int64_t>(nodes.size()))
+      nodes.resize(std::max<int64_t>(2 * nodes.size(), node_id + 1));
+    if (hi - lo <= kLeaf) {
+      nodes[node_id] = {0.f, -1};
+      return;
+    }
+    int best_ax = 0;
+    float best_spread = -1.f;
+    for (int a = 0; a < d; ++a) {
+      float mn = 1e30f, mx = -1e30f;
+      for (int64_t i = lo; i < hi; ++i) {
+        float v = src[perm[i] * d + a];
+        mn = std::min(mn, v);
+        mx = std::max(mx, v);
+      }
+      if (mx - mn > best_spread) { best_spread = mx - mn; best_ax = a; }
+    }
+    int64_t mid = lo + (hi - lo) / 2;
+    std::nth_element(perm.begin() + lo, perm.begin() + mid, perm.begin() + hi,
+                     [&](int64_t a, int64_t b) {
+                       return src[a * d + best_ax] < src[b * d + best_ax];
+                     });
+    nodes[node_id] = {src[perm[mid] * d + best_ax],
+                      static_cast<int32_t>(best_ax)};
+    build(src, perm, lo, mid, 2 * node_id + 1);
+    build(src, perm, mid, hi, 2 * node_id + 2);
+  }
+
+  // bounded max-heap over (d2, reordered slot); heap[0] = worst kept
+  struct Cand { float d2; int64_t slot; };
+  static void heap_push(Cand* h, int64_t& sz, int64_t cap, Cand c) {
+    if (sz < cap) {
+      h[sz++] = c;
+      int64_t i = sz - 1;
+      while (i > 0) {
+        int64_t p = (i - 1) / 2;
+        if (h[p].d2 >= h[i].d2) break;
+        std::swap(h[p], h[i]);
+        i = p;
+      }
+    } else if (c.d2 < h[0].d2) {
+      h[0] = c;
+      int64_t i = 0;
+      for (;;) {
+        int64_t l = 2 * i + 1, r = l + 1, m = i;
+        if (l < cap && h[l].d2 > h[m].d2) m = l;
+        if (r < cap && h[r].d2 > h[m].d2) m = r;
+        if (m == i) break;
+        std::swap(h[i], h[m]);
+        i = m;
+      }
+    }
+  }
+
+  void query(const float* q, int64_t k, Cand* heap, int64_t& hsz, int64_t lo,
+             int64_t hi, int64_t node_id) const {
+    const Node& nd = nodes[node_id];
+    if (nd.axis < 0) {
+      // two-phase leaf scan: a branch-free distance pass the compiler
+      // vectorizes, then heap pushes only for survivors
+      float d2buf[kLeaf];
+      const int64_t cnt = hi - lo;
+      const float* base = &pts[lo * d];
+      for (int64_t i = 0; i < cnt; ++i) {
+        float s = 0.f;
+        const float* p = base + i * d;
+        for (int a = 0; a < d; ++a) {
+          float diff = p[a] - q[a];
+          s += diff * diff;
+        }
+        d2buf[i] = s;
+      }
+      if (hsz == k) {
+        const float worst = heap[0].d2;
+        for (int64_t i = 0; i < cnt; ++i)
+          if (d2buf[i] < worst) heap_push(heap, hsz, k, {d2buf[i], lo + i});
+      } else {
+        for (int64_t i = 0; i < cnt; ++i)
+          heap_push(heap, hsz, k, {d2buf[i], lo + i});
+      }
+      return;
+    }
+    int64_t mid = lo + (hi - lo) / 2;
+    float diff = q[nd.axis] - nd.split;
+    bool left_first = diff < 0;
+    int64_t near_lo = left_first ? lo : mid, near_hi = left_first ? mid : hi;
+    int64_t far_lo = left_first ? mid : lo, far_hi = left_first ? hi : mid;
+    int64_t near_id = left_first ? 2 * node_id + 1 : 2 * node_id + 2;
+    int64_t far_id = left_first ? 2 * node_id + 2 : 2 * node_id + 1;
+    query(q, k, heap, hsz, near_lo, near_hi, near_id);
+    if (hsz < k || diff * diff <= heap[0].d2)
+      query(q, k, heap, hsz, far_lo, far_hi, far_id);
+  }
+};
+
 }  // namespace
 
 extern "C" {
@@ -611,6 +737,34 @@ int64_t boruvka_forest(std::vector<int64_t>& ea, std::vector<int64_t>& eb,
 }  // namespace
 
 extern "C" {
+
+// Exact k-nearest-neighbours of every point among `points` (self included,
+// like sklearn kneighbors on the fitted set). Rows sorted ascending by
+// (distance, original index). Serves ops/cluster.py::_knn on hosts without
+// an accelerator (and as the small-input path everywhere).
+EXPORT void knn_query(
+    const float* points, int64_t n, int64_t d, int64_t k,
+    float* out_dist, int64_t* out_idx) {
+  KNNTree tree(points, n, d);
+  std::vector<KNNTree::Cand> heap(k);
+  std::vector<std::pair<float, int64_t>> row(k);
+  for (int64_t q = 0; q < n; ++q) {
+    int64_t hsz = 0;
+    const float* qp = points + q * d;
+    tree.query(qp, k, heap.data(), hsz, 0, tree.n, 0);
+    for (int64_t i = 0; i < hsz; ++i)
+      row[i] = {heap[i].d2, tree.orig[heap[i].slot]};
+    std::sort(row.begin(), row.begin() + hsz);
+    for (int64_t i = 0; i < hsz; ++i) {
+      out_dist[q * k + i] = std::sqrt(row[i].first);
+      out_idx[q * k + i] = row[i].second;
+    }
+    for (int64_t i = hsz; i < k; ++i) {  // k > n padding (callers clamp)
+      out_dist[q * k + i] = std::numeric_limits<float>::infinity();
+      out_idx[q * k + i] = q;
+    }
+  }
+}
 
 EXPORT int64_t mst_from_edges(
     const int64_t* src, const int64_t* dst, const double* w, int64_t n_edges,

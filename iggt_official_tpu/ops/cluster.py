@@ -84,6 +84,10 @@ def _knn(points: np.ndarray, k: int):
         from iggt_official_tpu.ops.knn import brute_knn
 
         return brute_knn(points, points, k)
+    from iggt_official_tpu import native
+
+    if native.available():
+        return native.knn_query(points, k)
     from sklearn.neighbors import NearestNeighbors
 
     return NearestNeighbors(n_neighbors=k).fit(points).kneighbors(points)

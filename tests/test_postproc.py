@@ -233,6 +233,35 @@ def test_native_nn1_matches_bruteforce():
     np.testing.assert_array_equal(got, want)
 
 
+def test_native_knn_query_matches_sklearn():
+    """Bucketed KD-tree batch kNN == sklearn exact kNN (distances equal;
+    indices equal away from ties)."""
+    from sklearn.neighbors import NearestNeighbors
+
+    native = _native()
+    rng = np.random.default_rng(9)
+    # clustered data (the adversarial case for KD-tree pruning) + duplicates
+    centers = rng.normal(0, 1, (6, 8))
+    pts = (centers[rng.integers(0, 6, 5000)]
+           + 0.05 * rng.normal(size=(5000, 8))).astype(np.float32)
+    pts[100:110] = pts[0]  # exact duplicates
+    k = 24
+    d1, i1 = native.knn_query(pts, k)
+    # fetch k+1 from sklearn so the truncation boundary's tie partner is
+    # visible to the strictness filter below
+    d2x, i2x = NearestNeighbors(n_neighbors=k + 1).fit(pts).kneighbors(pts)
+    d2, i2 = d2x[:, :k], i2x[:, :k]
+    np.testing.assert_allclose(d1, d2.astype(np.float32), atol=2e-5)
+    # index agreement away from (near-)ties: native ranks by f32 distance,
+    # sklearn by f64, so only positions whose f32 gap to both neighbours
+    # (incl. the dropped k+1-th) clearly exceeds rounding must agree
+    gap = 1e-4
+    d2f = d2x.astype(np.float32)
+    strict = (d2f[:, 1:] - d2f[:, :-1]) > gap
+    strict[:, 1:] &= strict[:, :-1]
+    assert (i1 == i2)[strict].mean() == 1.0
+
+
 def test_native_mst_matches_scipy():
     """Boruvka spanning forest == scipy Prim: same total weight (the MST
     weight is unique) and same connected components, incl. a disconnected
