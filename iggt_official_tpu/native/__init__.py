@@ -93,6 +93,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     f32 = ctypes.POINTER(ctypes.c_float)
     lib.knn_query.argtypes = [f32, i64, i64, i64, f32, ctypes.POINTER(i64)]
     lib.knn_query.restype = None
+    lib.nn1_tree.argtypes = [f32, i64, f32, i64, i64, ctypes.POINTER(i64)]
+    lib.nn1_tree.restype = None
     for fn in (lib.ccl2d, lib.wdbscan, lib.nn1, lib.hdbscan_mst_labels):
         fn.restype = None
     return lib
@@ -263,7 +265,10 @@ def knn_query(points: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def nearest_neighbor(ref: np.ndarray, query: np.ndarray) -> np.ndarray:
-    """Index of the nearest ``ref`` point for every ``query`` point."""
+    """Index of the nearest ``ref`` point for every ``query`` point.
+
+    Large batches go through the bucketed KNNTree (vectorized leaf scans);
+    small ones through the plain KD-tree, whose build is cheaper."""
     lib = _get_lib()
     if lib is None:
         raise RuntimeError("native postproc library unavailable")
@@ -272,7 +277,8 @@ def nearest_neighbor(ref: np.ndarray, query: np.ndarray) -> np.ndarray:
     n_ref, d = ref.shape
     n_query = query.shape[0]
     out = np.empty(n_query, np.int64)
-    lib.nn1(
+    fn = lib.nn1_tree if n_query >= 4096 else lib.nn1
+    fn(
         _ptr(ref, ctypes.c_float), n_ref,
         _ptr(query, ctypes.c_float), n_query, d,
         _ptr(out, ctypes.c_int64),

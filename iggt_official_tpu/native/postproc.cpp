@@ -766,6 +766,39 @@ EXPORT void knn_query(
   }
 }
 
+// Batched 1-NN of `query` points among `ref` points through the bucketed
+// tree (replaces the per-point KDTree::nearest path of nn1 for large
+// batches — the ops/cluster.py::_nn1 backfill runs 1.5M queries at demo
+// scale). Ties resolve to the smallest original ref index like nn1.
+EXPORT void nn1_tree(
+    const float* ref, int64_t n_ref, const float* query, int64_t n_query,
+    int64_t d, int64_t* out_idx) {
+  KNNTree tree(ref, n_ref, d);
+  int64_t prev_slot = -1;
+  for (int64_t q = 0; q < n_query; ++q) {
+    const float* qp = query + q * d;
+    KNNTree::Cand best{std::numeric_limits<float>::infinity(), -1};
+    int64_t hsz = 0;
+    if (prev_slot >= 0) {
+      // warm start: consecutive queries are neighbouring pixels, so the
+      // previous answer is a near-optimal prune bound immediately
+      float s = 0.f;
+      const float* p = &tree.pts[prev_slot * d];
+      for (int a = 0; a < d; ++a) {
+        float diff = p[a] - qp[a];
+        s += diff * diff;
+      }
+      best = {s, prev_slot};
+      hsz = 1;
+    }
+    tree.query(qp, 1, &best, hsz, 0, tree.n, 0);
+    // ties keep the first candidate seen at the winning distance (exact
+    // duplicate refs are interchangeable for the label backfill)
+    prev_slot = best.slot;
+    out_idx[q] = best.slot >= 0 ? tree.orig[best.slot] : 0;
+  }
+}
+
 EXPORT int64_t mst_from_edges(
     const int64_t* src, const int64_t* dst, const double* w, int64_t n_edges,
     int64_t K, int64_t* out_a, int64_t* out_b, double* out_d) {
