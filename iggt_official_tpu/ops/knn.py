@@ -124,7 +124,6 @@ def knn_smooth_features(
     return smoothed.reshape(shape)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
 def _knn_block(qb: jax.Array, ref: jax.Array, ref_sq: jax.Array, k: int):
     """Exact k nearest refs for one query block (Q, C) vs (R, C)."""
     q32 = qb.astype(jnp.float32)
@@ -133,33 +132,40 @@ def _knn_block(qb: jax.Array, ref: jax.Array, ref_sq: jax.Array, k: int):
         + ref_sq[None, :]
         - 2.0 * jnp.matmul(q32, ref.T, precision="highest")
     )
-    neg, idx = jax.lax.top_k(-d, k)
+    if k == 1:  # argmin beats top_k's sort for the 1-NN backfill
+        idx = jnp.argmin(d, axis=-1)[:, None]
+        neg = -jnp.take_along_axis(d, idx, axis=-1)
+    else:
+        neg, idx = jax.lax.top_k(-d, k)
     return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _knn_all_blocks(qblocks: jax.Array, ref: jax.Array, k: int):
+    """lax.map over query blocks (NB, B, C) -> one dispatch, one transfer
+    (the per-block host sync costs ~34 ms each through a remote-TPU
+    tunnel; 376 blocks of backfill used to pay it 376 times)."""
+    ref_sq = jnp.sum(ref * ref, axis=-1)
+    return jax.lax.map(lambda qb: _knn_block(qb, ref, ref_sq, k), qblocks)
 
 
 def brute_knn(
     ref: np.ndarray, query: np.ndarray, k: int, block: int = 4096
 ):
     """Exact kNN on the accelerator: chunked (Q, R) distance blocks on the
-    MXU + top_k.  Replaces host KD-tree queries for the clustering pipeline
-    (the single-core host is ~50x slower at demo scale).  Returns numpy
+    MXU + top_k, all blocks in a single jitted dispatch.  Returns numpy
     (dist (Q, k), idx (Q, k)) sorted ascending, self included when
     query is ref.
     """
     ref_d = jnp.asarray(np.asarray(ref, np.float32))
-    ref_sq = jnp.sum(ref_d * ref_d, axis=-1)
-    Q = query.shape[0]
-    dists = np.empty((Q, k), np.float32)
-    idxs = np.empty((Q, k), np.int64)
-    for s in range(0, Q, block):
-        qb = np.asarray(query[s : s + block], np.float32)
-        pad = block - qb.shape[0]
-        if pad:
-            qb = np.concatenate([qb, np.zeros((pad, qb.shape[1]), np.float32)])
-        d, i = _knn_block(jnp.asarray(qb), ref_d, ref_sq, k)
-        d, i = np.asarray(d), np.asarray(i)
-        if pad:
-            d, i = d[:-pad], i[:-pad]
-        dists[s : s + block] = d
-        idxs[s : s + block] = i
-    return dists, idxs
+    Q, C = query.shape
+    pad = (-Q) % block
+    q = np.asarray(query, np.float32)
+    if pad:
+        q = np.concatenate([q, np.zeros((pad, C), np.float32)])
+    d, i = _knn_all_blocks(
+        jnp.asarray(q).reshape(-1, block, C), ref_d, k
+    )
+    d = np.asarray(d).reshape(-1, k)[:Q]
+    i = np.asarray(i).reshape(-1, k)[:Q].astype(np.int64)
+    return d, i
