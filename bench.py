@@ -32,7 +32,37 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 ANCHOR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json")
 
 
+def _wait_for_accelerator(max_wait_s: float = 900.0) -> None:
+    """A killed-mid-compile process wedges the remote-TPU tunnel for
+    ~10-20 min; probe it in fresh subprocesses (backend init failure is
+    cached per process) until it answers, so a bench launched during the
+    wedge recovers instead of dying at jax.devices()."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import jax, numpy as np;"
+        "print(int(np.asarray(jax.numpy.ones((8, 128))).sum()))"
+    )
+    t0 = time.time()
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, timeout=120, text=True,
+            )
+            if r.returncode == 0 and "1024" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 > max_wait_s:
+            return  # let the real run surface the error
+        time.sleep(30)
+
+
 def main() -> None:
+    _wait_for_accelerator()
+
     import jax
     import jax.numpy as jnp
 
