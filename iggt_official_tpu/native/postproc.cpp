@@ -220,8 +220,13 @@ struct KNNTree {
     }
   }
 
+  // `bound2`: admissible external prune bound on the k-th squared distance
+  // (e.g. the triangle-inequality carry-over from the previous query in a
+  // tree-ordered batch); +inf when absent.  Pruning against
+  // min(heap-worst, bound2) never discards a true top-k point because
+  // bound2 >= the true k-th distance by construction.
   void query(const float* q, int64_t k, Cand* heap, int64_t& hsz, int64_t lo,
-             int64_t hi, int64_t node_id) const {
+             int64_t hi, int64_t node_id, float bound2) const {
     const Node& nd = nodes[node_id];
     if (nd.axis < 0) {
       // two-phase leaf scan: a branch-free distance pass the compiler
@@ -229,14 +234,26 @@ struct KNNTree {
       float d2buf[kLeaf];
       const int64_t cnt = hi - lo;
       const float* base = &pts[lo * d];
-      for (int64_t i = 0; i < cnt; ++i) {
-        float s = 0.f;
-        const float* p = base + i * d;
-        for (int a = 0; a < d; ++a) {
-          float diff = p[a] - q[a];
-          s += diff * diff;
+      if (d == 8) {  // the instance-feature width; fixed trip count unrolls
+        for (int64_t i = 0; i < cnt; ++i) {
+          const float* p = base + i * 8;
+          float s = 0.f;
+          for (int a = 0; a < 8; ++a) {
+            float diff = p[a] - q[a];
+            s += diff * diff;
+          }
+          d2buf[i] = s;
         }
-        d2buf[i] = s;
+      } else {
+        for (int64_t i = 0; i < cnt; ++i) {
+          float s = 0.f;
+          const float* p = base + i * d;
+          for (int a = 0; a < d; ++a) {
+            float diff = p[a] - q[a];
+            s += diff * diff;
+          }
+          d2buf[i] = s;
+        }
       }
       if (hsz == k) {
         const float worst = heap[0].d2;
@@ -255,9 +272,10 @@ struct KNNTree {
     int64_t far_lo = left_first ? mid : lo, far_hi = left_first ? hi : mid;
     int64_t near_id = left_first ? 2 * node_id + 1 : 2 * node_id + 2;
     int64_t far_id = left_first ? 2 * node_id + 2 : 2 * node_id + 1;
-    query(q, k, heap, hsz, near_lo, near_hi, near_id);
-    if (hsz < k || diff * diff <= heap[0].d2)
-      query(q, k, heap, hsz, far_lo, far_hi, far_id);
+    query(q, k, heap, hsz, near_lo, near_hi, near_id, bound2);
+    float eff = hsz == k ? std::min(heap[0].d2, bound2) : bound2;
+    if (diff * diff <= eff)
+      query(q, k, heap, hsz, far_lo, far_hi, far_id, bound2);
   }
 };
 
@@ -745,24 +763,43 @@ extern "C" {
 EXPORT void knn_query(
     const float* points, int64_t n, int64_t d, int64_t k,
     float* out_dist, int64_t* out_idx) {
+  const float INF = std::numeric_limits<float>::infinity();
   KNNTree tree(points, n, d);
   std::vector<KNNTree::Cand> heap(k);
   std::vector<std::pair<float, int64_t>> row(k);
-  for (int64_t q = 0; q < n; ++q) {
+  // visit queries in TREE order: consecutive queries are spatial
+  // neighbours, so the triangle inequality d_k(q') <= d_k(q) + |q - q'|
+  // yields a tight admissible prune bound before any node is visited
+  float prev_dk = INF;
+  const float* prev_q = nullptr;
+  for (int64_t slot = 0; slot < n; ++slot) {
+    const float* qp = &tree.pts[slot * d];
+    float bound2 = INF;
+    if (prev_q && prev_dk < INF) {
+      float s = 0.f;
+      for (int a = 0; a < d; ++a) {
+        float diff = qp[a] - prev_q[a];
+        s += diff * diff;
+      }
+      float b = prev_dk + std::sqrt(s);
+      bound2 = b * b;
+    }
     int64_t hsz = 0;
-    const float* qp = points + q * d;
-    tree.query(qp, k, heap.data(), hsz, 0, tree.n, 0);
+    tree.query(qp, k, heap.data(), hsz, 0, tree.n, 0, bound2);
     for (int64_t i = 0; i < hsz; ++i)
       row[i] = {heap[i].d2, tree.orig[heap[i].slot]};
     std::sort(row.begin(), row.begin() + hsz);
+    const int64_t q = tree.orig[slot];
     for (int64_t i = 0; i < hsz; ++i) {
       out_dist[q * k + i] = std::sqrt(row[i].first);
       out_idx[q * k + i] = row[i].second;
     }
     for (int64_t i = hsz; i < k; ++i) {  // k > n padding (callers clamp)
-      out_dist[q * k + i] = std::numeric_limits<float>::infinity();
+      out_dist[q * k + i] = INF;
       out_idx[q * k + i] = q;
     }
+    prev_dk = hsz == k ? std::sqrt(heap[0].d2) : INF;
+    prev_q = qp;
   }
 }
 
@@ -791,7 +828,8 @@ EXPORT void nn1_tree(
       best = {s, prev_slot};
       hsz = 1;
     }
-    tree.query(qp, 1, &best, hsz, 0, tree.n, 0);
+    tree.query(qp, 1, &best, hsz, 0, tree.n, 0,
+               std::numeric_limits<float>::infinity());
     // ties keep the first candidate seen at the winning distance (exact
     // duplicate refs are interchangeable for the label backfill)
     prev_slot = best.slot;
