@@ -37,7 +37,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(so_path):
         tmp = so_path + f".tmp{os.getpid()}"
         base = [
-            "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
             "-fvisibility=hidden", _SRC, "-o", tmp,
         ]
         # -march=native vectorizes the kNN leaf scans (~1.5x); retry

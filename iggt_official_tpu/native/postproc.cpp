@@ -16,9 +16,11 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <limits>
 #include <numeric>
+#include <thread>
 #include <utility>
 #include <vector>
 
@@ -134,6 +136,38 @@ struct KDTree {
     if (diff * diff <= best_d2) nearest(q, second_lo, second_hi, best, best_d2);
   }
 };
+
+// Worker count for the batch query kernels: IGGT_NATIVE_THREADS, else
+// hardware_concurrency (1 on the single-core bench box — identical
+// behaviour there; production hosts fan the query loop out over chunks,
+// each chunk keeping its own warm-start/carry-over locality).
+inline int64_t native_threads() {
+  if (const char* env = std::getenv("IGGT_NATIVE_THREADS")) {
+    long v = std::strtol(env, nullptr, 10);
+    if (v >= 1) return static_cast<int64_t>(v);
+  }
+  unsigned hc = std::thread::hardware_concurrency();
+  return hc ? static_cast<int64_t>(hc) : 1;
+}
+
+// Run fn(chunk_begin, chunk_end) over [0, n) on nt threads.
+template <class Fn>
+void parallel_chunks(int64_t n, int64_t nt, Fn fn) {
+  nt = std::min<int64_t>(nt, std::max<int64_t>(n, 1));
+  if (nt <= 1) {
+    fn(0, n);
+    return;
+  }
+  std::vector<std::thread> workers;
+  workers.reserve(nt);
+  const int64_t step = (n + nt - 1) / nt;
+  for (int64_t t = 0; t < nt; ++t) {
+    int64_t lo = t * step, hi = std::min(n, lo + step);
+    if (lo >= hi) break;
+    workers.emplace_back([=] { fn(lo, hi); });
+  }
+  for (auto& w : workers) w.join();
+}
 
 // ---------------------------------------------------------------------------
 // Bucketed KD-tree for batch exact kNN (ops/cluster.py::_knn host path).
@@ -765,42 +799,45 @@ EXPORT void knn_query(
     float* out_dist, int64_t* out_idx) {
   const float INF = std::numeric_limits<float>::infinity();
   KNNTree tree(points, n, d);
-  std::vector<KNNTree::Cand> heap(k);
-  std::vector<std::pair<float, int64_t>> row(k);
   // visit queries in TREE order: consecutive queries are spatial
   // neighbours, so the triangle inequality d_k(q') <= d_k(q) + |q - q'|
-  // yields a tight admissible prune bound before any node is visited
-  float prev_dk = INF;
-  const float* prev_q = nullptr;
-  for (int64_t slot = 0; slot < n; ++slot) {
-    const float* qp = &tree.pts[slot * d];
-    float bound2 = INF;
-    if (prev_q && prev_dk < INF) {
-      float s = 0.f;
-      for (int a = 0; a < d; ++a) {
-        float diff = qp[a] - prev_q[a];
-        s += diff * diff;
+  // yields a tight admissible prune bound before any node is visited.
+  // Each thread owns a contiguous slot chunk (locality preserved within).
+  parallel_chunks(n, native_threads(), [&](int64_t c_lo, int64_t c_hi) {
+    std::vector<KNNTree::Cand> heap(k);
+    std::vector<std::pair<float, int64_t>> row(k);
+    float prev_dk = INF;
+    const float* prev_q = nullptr;
+    for (int64_t slot = c_lo; slot < c_hi; ++slot) {
+      const float* qp = &tree.pts[slot * d];
+      float bound2 = INF;
+      if (prev_q && prev_dk < INF) {
+        float s = 0.f;
+        for (int a = 0; a < d; ++a) {
+          float diff = qp[a] - prev_q[a];
+          s += diff * diff;
+        }
+        float b = prev_dk + std::sqrt(s);
+        bound2 = b * b;
       }
-      float b = prev_dk + std::sqrt(s);
-      bound2 = b * b;
+      int64_t hsz = 0;
+      tree.query(qp, k, heap.data(), hsz, 0, tree.n, 0, bound2);
+      for (int64_t i = 0; i < hsz; ++i)
+        row[i] = {heap[i].d2, tree.orig[heap[i].slot]};
+      std::sort(row.begin(), row.begin() + hsz);
+      const int64_t q = tree.orig[slot];
+      for (int64_t i = 0; i < hsz; ++i) {
+        out_dist[q * k + i] = std::sqrt(row[i].first);
+        out_idx[q * k + i] = row[i].second;
+      }
+      for (int64_t i = hsz; i < k; ++i) {  // k > n padding (callers clamp)
+        out_dist[q * k + i] = INF;
+        out_idx[q * k + i] = q;
+      }
+      prev_dk = hsz == k ? std::sqrt(heap[0].d2) : INF;
+      prev_q = qp;
     }
-    int64_t hsz = 0;
-    tree.query(qp, k, heap.data(), hsz, 0, tree.n, 0, bound2);
-    for (int64_t i = 0; i < hsz; ++i)
-      row[i] = {heap[i].d2, tree.orig[heap[i].slot]};
-    std::sort(row.begin(), row.begin() + hsz);
-    const int64_t q = tree.orig[slot];
-    for (int64_t i = 0; i < hsz; ++i) {
-      out_dist[q * k + i] = std::sqrt(row[i].first);
-      out_idx[q * k + i] = row[i].second;
-    }
-    for (int64_t i = hsz; i < k; ++i) {  // k > n padding (callers clamp)
-      out_dist[q * k + i] = INF;
-      out_idx[q * k + i] = q;
-    }
-    prev_dk = hsz == k ? std::sqrt(heap[0].d2) : INF;
-    prev_q = qp;
-  }
+  });
 }
 
 // Batched 1-NN of `query` points among `ref` points through the bucketed
@@ -811,30 +848,32 @@ EXPORT void nn1_tree(
     const float* ref, int64_t n_ref, const float* query, int64_t n_query,
     int64_t d, int64_t* out_idx) {
   KNNTree tree(ref, n_ref, d);
-  int64_t prev_slot = -1;
-  for (int64_t q = 0; q < n_query; ++q) {
-    const float* qp = query + q * d;
-    KNNTree::Cand best{std::numeric_limits<float>::infinity(), -1};
-    int64_t hsz = 0;
-    if (prev_slot >= 0) {
-      // warm start: consecutive queries are neighbouring pixels, so the
-      // previous answer is a near-optimal prune bound immediately
-      float s = 0.f;
-      const float* p = &tree.pts[prev_slot * d];
-      for (int a = 0; a < d; ++a) {
-        float diff = p[a] - qp[a];
-        s += diff * diff;
+  parallel_chunks(n_query, native_threads(), [&](int64_t c_lo, int64_t c_hi) {
+    int64_t prev_slot = -1;
+    for (int64_t q = c_lo; q < c_hi; ++q) {
+      const float* qp = query + q * d;
+      KNNTree::Cand best{std::numeric_limits<float>::infinity(), -1};
+      int64_t hsz = 0;
+      if (prev_slot >= 0) {
+        // warm start: consecutive queries are neighbouring pixels, so the
+        // previous answer is a near-optimal prune bound immediately
+        float s = 0.f;
+        const float* p = &tree.pts[prev_slot * d];
+        for (int a = 0; a < d; ++a) {
+          float diff = p[a] - qp[a];
+          s += diff * diff;
+        }
+        best = {s, prev_slot};
+        hsz = 1;
       }
-      best = {s, prev_slot};
-      hsz = 1;
+      tree.query(qp, 1, &best, hsz, 0, tree.n, 0,
+                 std::numeric_limits<float>::infinity());
+      // ties keep the first candidate seen at the winning distance (exact
+      // duplicate refs are interchangeable for the label backfill)
+      prev_slot = best.slot;
+      out_idx[q] = best.slot >= 0 ? tree.orig[best.slot] : 0;
     }
-    tree.query(qp, 1, &best, hsz, 0, tree.n, 0,
-               std::numeric_limits<float>::infinity());
-    // ties keep the first candidate seen at the winning distance (exact
-    // duplicate refs are interchangeable for the label backfill)
-    prev_slot = best.slot;
-    out_idx[q] = best.slot >= 0 ? tree.orig[best.slot] : 0;
-  }
+  });
 }
 
 EXPORT int64_t mst_from_edges(
