@@ -259,6 +259,19 @@ class Block(nn.Module):
     # torch nn.LayerNorm default; the DINOv2 ViT overrides to 1e-6
     ln_eps: float = 1e-5
     attn_fn: Callable = sdpa_xla
+    # single-HBM-pass Pallas LayerNorm for the fp32 islands (inference
+    # paths; the kernel has no custom_vjp so training keeps nn.LayerNorm)
+    fused_ln: bool = False
+
+    def _pre_norm(self, x: jax.Array, name: str) -> jax.Array:
+        if self.fused_ln:
+            from iggt_official_tpu.ops.fused_ln import FusedLN
+
+            return FusedLN(eps=self.ln_eps, out_dtype=self.dtype,
+                           name=name)(x)
+        return nn.LayerNorm(
+            epsilon=self.ln_eps, dtype=jnp.float32, name=name
+        )(x).astype(self.dtype)
 
     @nn.compact
     def __call__(
@@ -271,8 +284,7 @@ class Block(nn.Module):
             proj_bias=self.proj_bias, qk_norm=self.qk_norm, dtype=self.dtype,
             attn_fn=self.attn_fn, name="attn",
         )(
-            nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="norm1")(x)
-            .astype(self.dtype),
+            self._pre_norm(x, "norm1"),
             rope=rope,
         )
         if self.init_values is not None:
@@ -288,10 +300,7 @@ class Block(nn.Module):
         else:
             raise ValueError(f"unknown ffn_layer {self.ffn_layer}")
 
-        mlp_out = ffn(
-            nn.LayerNorm(epsilon=self.ln_eps, dtype=jnp.float32, name="norm2")(x)
-            .astype(self.dtype)
-        )
+        mlp_out = ffn(self._pre_norm(x, "norm2"))
         if self.init_values is not None:
             mlp_out = LayerScale(self.dim, self.init_values, name="ls2")(mlp_out)
         return x + mlp_out

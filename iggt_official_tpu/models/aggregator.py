@@ -71,6 +71,8 @@ class Aggregator(nn.Module):
     # (FastVGGT-style training-free acceleration, ops/token_merge.py);
     # 0 disables.  Clamped to the unprotected-candidate count.
     global_merge_r: int = 0
+    # single-pass Pallas LayerNorm in the trunk blocks (inference paths)
+    fused_ln: bool = False
 
     @nn.compact
     def __call__(
@@ -165,6 +167,7 @@ class Aggregator(nn.Module):
                 qk_norm=cfg.qk_norm,
                 dtype=self.dtype,
                 attn_fn=attn,
+                fused_ln=self.fused_ln,
                 name=f"{kind}_blocks_{i}",
             )
 

@@ -140,6 +140,7 @@ class VGGT(nn.Module):
         remat: bool = False,
         shard_fn: Optional[Callable] = None,
         global_merge_r: int = 0,
+        fused_ln: bool = False,
         feat_only: bool = False,
     ) -> Dict[str, jax.Array]:
         cfg = self.cfg
@@ -148,6 +149,7 @@ class VGGT(nn.Module):
             cfg.aggregator.with_vit(), dtype=_dtype(cfg.trunk_dtype),
             attn_fn=attn_fn, global_attn_fn=global_attn_fn, remat=remat,
             shard_fn=shard_fn, global_merge_r=global_merge_r,
+            fused_ln=fused_ln,
             name="aggregator",
         )(images)
         # tokens stay in trunk dtype (bf16) in HBM; heads upcast to fp32 at
@@ -215,6 +217,7 @@ class IGGT(nn.Module):
         remat: bool = False,
         shard_fn: Optional[Callable] = None,
         global_merge_r: int = 0,
+        fused_ln: bool = False,
     ) -> Dict[str, jax.Array]:
         cfg = self.cfg
         B, S, H, W, _ = images.shape
@@ -222,6 +225,7 @@ class IGGT(nn.Module):
             cfg.aggregator.with_vit(), dtype=_dtype(cfg.trunk_dtype),
             attn_fn=attn_fn, global_attn_fn=global_attn_fn, remat=remat,
             shard_fn=shard_fn, global_merge_r=global_merge_r,
+            fused_ln=fused_ln,
             name="aggregator",
         )(images)
         # tokens stay in trunk dtype (bf16) in HBM — 24 x (B,S,P,2048) maps;

@@ -392,6 +392,27 @@ def test_iggt_end_to_end_tiny():
         assert np.isfinite(np.asarray(v)).all()
 
 
+def test_iggt_fused_ln_matches_baseline():
+    """The Pallas single-pass LayerNorm (fused_ln=True) reproduces the
+    nn.LayerNorm fp32-island outputs (interpret mode on CPU)."""
+    from iggt_official_tpu.models.vggt import IGGT
+
+    cfg = ModelConfig().scaled(
+        embed_dim=64, depth=2, num_heads=2, img_size=56, patch_embed="conv"
+    )
+    model = IGGT(cfg)
+    rng = np.random.default_rng(12)
+    imgs = jnp.asarray(rng.uniform(0, 1, (1, 2, 56, 56, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), imgs)
+    base = model.apply(params, imgs)
+    fused = model.apply(params, imgs, fused_ln=True)
+    for k in ("depth", "pose_enc", "world_points", "part_feat"):
+        np.testing.assert_allclose(
+            np.asarray(base[k], np.float32), np.asarray(fused[k], np.float32),
+            atol=1e-5, rtol=1e-5, err_msg=k,
+        )
+
+
 def test_vggt_feat_only():
     """`feat_only=True` mirrors the reference's `forward_feat`
     (`vggt.py:97-130`): last token map + raw depth/point head outputs,
