@@ -56,6 +56,7 @@ class DinoViT(nn.Module):
 
     cfg: ViTConfig
     dtype: jnp.dtype = jnp.float32
+    fused_ln: bool = False
     attn_fn: Callable = sdpa_xla
 
     @nn.compact
@@ -105,6 +106,7 @@ class DinoViT(nn.Module):
                 ln_eps=cfg.ln_eps,
                 dtype=self.dtype,
                 attn_fn=self.attn_fn,
+                fused_ln=self.fused_ln,
                 name=f"blocks_{i}",
             )(x)
 

@@ -97,7 +97,9 @@ class Aggregator(nn.Module):
             )(x)
         else:
             patch_tokens = DinoViT(cfg.vit, dtype=self.dtype,
-                                   attn_fn=self.attn_fn, name="patch_embed")(x)
+                                   attn_fn=self.attn_fn,
+                                   fused_ln=self.fused_ln,
+                                   name="patch_embed")(x)
 
         camera_token = self.param(
             "camera_token", nn.initializers.normal(1e-6), (1, 2, 1, cfg.embed_dim)
