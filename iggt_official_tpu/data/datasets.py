@@ -395,6 +395,7 @@ class Infinigen(SceneDirDataset):
     seq_depth = 2
     seq_glob = os.path.join("scene*", "*")
     load_seg = True
+    aux_list_names = ("all_seg_paths",)
 
     def __init__(self, *args, **kwargs):
         self.all_seg_paths = []
@@ -451,6 +452,7 @@ class Kubric(SceneDirDataset):
     # Blender camera looks down -Z with +Y up; OpenCV looks down +Z with
     # -Y up -> flip the Y/Z basis columns (`kubric.py:34-36,141`)
     pose_postmul = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    aux_list_names = ("depth_ranges",)
 
     def __init__(self, *args, **kwargs):
         self.depth_ranges = []
@@ -506,6 +508,7 @@ class MapFree(SceneDirDataset):
     depth_mode = "npy"
     seq_depth = 2
     depth_percentile = 98
+    aux_list_names = ("all_sky_paths",)
 
     def __init__(self, *args, **kwargs):
         self.all_sky_paths = []
@@ -634,11 +637,15 @@ class Sintel(SceneDirDataset):
     cam_dir = ""
     color_ext = "frame_*.png"
     load_dynamic_mask = True
+    aux_list_names = ("all_dyn_paths",)
 
-    def __init__(self, *args, dset: str = "clean", **kwargs):
+    def __init__(self, dataset_location: str, dset: str = "clean",
+                 *args, **kwargs):
+        # explicit positional signature: `Sintel(root, "final")` must bind
+        # dset once (a bare *args + dset keyword forwards it twice)
         self._dset_name = dset
         self.all_dyn_paths = []
-        super().__init__(*args, dset=dset, **kwargs)
+        super().__init__(dataset_location, dset, *args, **kwargs)
 
     def _scan_sequence(self, seq):
         from iggt_official_tpu.eval.trajectory import sintel_cam_read

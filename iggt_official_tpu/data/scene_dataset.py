@@ -71,6 +71,11 @@ class SceneDirDataset(BaseViewDataset):
     # per-frame maximum-depth npz key for png_maxdepth decoding
     # (co3d's `maximum_depth`, `co3d.py:154,176-179`)
     max_depth_key: Optional[str] = None
+    # names of auxiliary per-frame lists a subclass's _scan_sequence
+    # extends alongside the index (Kubric.depth_ranges,
+    # MapFree.all_sky_paths, ...); persisted with the startup cache so a
+    # cache hit restores them index-aligned instead of leaving them empty
+    aux_list_names: tuple = ()
 
     def __init__(
         self,
@@ -168,20 +173,24 @@ class SceneDirDataset(BaseViewDataset):
         cam_paths = sorted(
             glob.glob(os.path.join(seq, self.cam_dir, self.cam_ext))
         )
-        if not rgb_paths:
+        # reject too-short sequences before paying the camera-file parse
+        # (the base __init__ would drop them post-scan anyway)
+        if not rgb_paths or len(rgb_paths) < self.min_frames:
             return None
         cams = []
         max_depths = [] if self.max_depth_key else None
         for cam_path in cam_paths:
-            pose, K = self._load_cam(cam_path)
-            cams.append((pose, K))
             if max_depths is not None:
                 with np.load(cam_path) as cam:
+                    pose, K = self._load_cam(cam_path, cam=cam)
                     max_depths.append(
                         float(np.nan_to_num(cam[self.max_depth_key]))
                         if self.max_depth_key in cam
                         else self.max_depth
                     )
+            else:
+                pose, K = self._load_cam(cam_path)
+            cams.append((pose, K))
         return rgb_paths, depth_paths, cams, max_depths
 
     # -- index cache ---------------------------------------------------
@@ -192,19 +201,35 @@ class SceneDirDataset(BaseViewDataset):
             os.path.join(self._cache_dir, "rgb_paths.json"),
             os.path.join(self._cache_dir, "depth_paths.json"),
             os.path.join(self._cache_dir, "index.npz"),
+            os.path.join(self._cache_dir, "aux_lists.json"),
         )
 
     def _load_cache(self) -> bool:
         import json
 
-        rgb_f, depth_f, arr_f = self._cache_paths()
+        rgb_f, depth_f, arr_f, aux_f = self._cache_paths()
         if not (os.path.exists(rgb_f) and os.path.exists(arr_f)):
             return False
+        # parse everything into locals first; commit to self only once the
+        # whole cache validates, so a False return leaves the instance
+        # clean for the fallback directory rescan
         with open(rgb_f, encoding="utf-8") as f:
             rgb = json.load(f)
-        self.all_rgb_paths = [rgb[str(i)] for i in range(len(rgb))]
+        rgb_paths = [rgb[str(i)] for i in range(len(rgb))]
+        aux: Dict[str, list] = {}
+        if self.aux_list_names:
+            # stale cache written before this subclass persisted its
+            # auxiliary per-frame lists -> rescan rather than desync
+            if not os.path.exists(aux_f):
+                return False
+            with open(aux_f, encoding="utf-8") as f:
+                aux = json.load(f)
+            for name in self.aux_list_names:
+                if name not in aux or len(aux[name]) != len(rgb_paths):
+                    return False
         with open(depth_f, encoding="utf-8") as f:
             dep = json.load(f)
+        self.all_rgb_paths = rgb_paths
         self.all_depth_paths = [dep[str(i)] for i in range(len(dep))]
         arrs = np.load(arr_f)
         self.all_extrinsic = list(arrs["extrinsics"].astype(np.float32))
@@ -217,13 +242,25 @@ class SceneDirDataset(BaseViewDataset):
             self.rank[i] = flat[off : off + n]
             off += n
         self.full_idxs = list(range(len(self.all_rgb_paths)))
+        for name in self.aux_list_names:
+            # json round-trips tuples (kubric depth ranges) as lists;
+            # consumers unpack them positionally either way
+            setattr(self, name, [
+                tuple(v) if isinstance(v, list) else v for v in aux[name]
+            ])
         return True
 
     def _save_cache(self) -> None:
         import json
 
         os.makedirs(self._cache_dir, exist_ok=True)
-        rgb_f, depth_f, arr_f = self._cache_paths()
+        rgb_f, depth_f, arr_f, aux_f = self._cache_paths()
+        if self.aux_list_names:
+            with open(aux_f, "w", encoding="utf-8") as f:
+                json.dump(
+                    {n: list(getattr(self, n)) for n in self.aux_list_names},
+                    f,
+                )
         with open(rgb_f, "w", encoding="utf-8") as f:
             json.dump({str(i): p for i, p in enumerate(self.all_rgb_paths)}, f)
         with open(depth_f, "w", encoding="utf-8") as f:
@@ -252,8 +289,9 @@ class SceneDirDataset(BaseViewDataset):
     def __len__(self):
         return len(self.full_idxs)
 
-    def _load_cam(self, cam_path: str):
-        cam = np.load(cam_path)
+    def _load_cam(self, cam_path: str, cam=None):
+        if cam is None:
+            cam = np.load(cam_path)
         pose = None
         for key in (self.pose_key, *self.pose_keys):
             if key in cam:

@@ -129,16 +129,22 @@ def list_tsv_shards(
     root: str, start: int = 0, end: int = 100
 ) -> List[str]:
     """SA-1B shard selection: `*_<N>.tsv` with start <= N < end
-    (`sa1b_image.py:154-157`, SAM_SUBSET_START/END semantics)."""
+    (`sa1b_image.py:154-157`, SAM_SUBSET_START/END semantics).
+
+    Unnumbered tsv files are included only in a full-range (default)
+    listing: partitioned subset workers must not each load the same
+    unnumbered shard, but a single-worker run over the whole root should
+    still see it."""
+    full_range = start <= 0 and end >= 100
     names = []
     for name in sorted(os.listdir(root)):
         if not name.endswith(".tsv"):
             continue
         num = _shard_number(name)
-        # only numbered shards participate in range partitioning; an
-        # unnumbered tsv would otherwise be loaded by EVERY subset worker,
-        # duplicating its samples across a partitioned run
-        if num is not None and start <= num < end:
+        if num is None:
+            if full_range:
+                names.append(os.path.join(root, name))
+        elif start <= num < end:
             names.append(os.path.join(root, name))
     return names
 

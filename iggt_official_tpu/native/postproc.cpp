@@ -311,6 +311,43 @@ struct KNNTree {
     if (diff * diff <= eff)
       query(q, k, heap, hsz, far_lo, far_hi, far_id, bound2);
   }
+
+  // Dedicated 1-NN walk with the same smallest-ORIGINAL-index tie-break as
+  // KDTree::nearest, so nn1 and nn1_tree agree bit-for-bit on duplicate /
+  // equidistant reference points (the label backfill dispatches between
+  // them on batch size).  Prunes with <= so equidistant far subtrees stay
+  // reachable; heap-free, so also slightly cheaper than query(k=1).
+  void query1(const float* q, Cand& best, int64_t lo, int64_t hi,
+              int64_t node_id) const {
+    const Node& nd = nodes[node_id];
+    if (nd.axis < 0) {
+      const int64_t cnt = hi - lo;
+      const float* base = &pts[lo * d];
+      for (int64_t i = 0; i < cnt; ++i) {
+        float s = 0.f;
+        const float* p = base + i * d;
+        for (int a = 0; a < d; ++a) {
+          float diff = p[a] - q[a];
+          s += diff * diff;
+        }
+        const int64_t slot = lo + i;
+        if (s < best.d2 ||
+            (s == best.d2 && best.slot >= 0 && orig[slot] < orig[best.slot]))
+          best = {s, slot};
+      }
+      return;
+    }
+    int64_t mid = lo + (hi - lo) / 2;
+    float diff = q[nd.axis] - nd.split;
+    bool left_first = diff < 0;
+    int64_t near_lo = left_first ? lo : mid, near_hi = left_first ? mid : hi;
+    int64_t far_lo = left_first ? mid : lo, far_hi = left_first ? hi : mid;
+    int64_t near_id = left_first ? 2 * node_id + 1 : 2 * node_id + 2;
+    int64_t far_id = left_first ? 2 * node_id + 2 : 2 * node_id + 1;
+    query1(q, best, near_lo, near_hi, near_id);
+    if (diff * diff <= best.d2)
+      query1(q, best, far_lo, far_hi, far_id);
+  }
 };
 
 }  // namespace
@@ -853,10 +890,11 @@ EXPORT void nn1_tree(
     for (int64_t q = c_lo; q < c_hi; ++q) {
       const float* qp = query + q * d;
       KNNTree::Cand best{std::numeric_limits<float>::infinity(), -1};
-      int64_t hsz = 0;
       if (prev_slot >= 0) {
         // warm start: consecutive queries are neighbouring pixels, so the
-        // previous answer is a near-optimal prune bound immediately
+        // previous answer is a near-optimal prune bound immediately; the
+        // tie-break in query1 still replaces it by a smaller original
+        // index at equal distance
         float s = 0.f;
         const float* p = &tree.pts[prev_slot * d];
         for (int a = 0; a < d; ++a) {
@@ -864,12 +902,8 @@ EXPORT void nn1_tree(
           s += diff * diff;
         }
         best = {s, prev_slot};
-        hsz = 1;
       }
-      tree.query(qp, 1, &best, hsz, 0, tree.n, 0,
-                 std::numeric_limits<float>::infinity());
-      // ties keep the first candidate seen at the winning distance (exact
-      // duplicate refs are interchangeable for the label backfill)
+      tree.query1(qp, best, 0, tree.n, 0);
       prev_slot = best.slot;
       out_idx[q] = best.slot >= 0 ? tree.orig[best.slot] : 0;
     }

@@ -202,7 +202,6 @@ def _weighted_core_distances(
 
 
 def _mreach_mst(
-    weights: np.ndarray,
     core: np.ndarray,
     knn_dist: np.ndarray,
     knn_idx: np.ndarray,
@@ -304,7 +303,7 @@ def weighted_hdbscan(
     core, knn_dist, knn_idx = _weighted_core_distances(
         points, weights, min_samples
     )
-    edge_a, edge_b, edge_d = _mreach_mst(weights, core, knn_dist, knn_idx)
+    edge_a, edge_b, edge_d = _mreach_mst(core, knn_dist, knn_idx)
 
     from iggt_official_tpu import native
 

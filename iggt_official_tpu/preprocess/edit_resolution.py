@@ -34,7 +34,7 @@ _SCALE_RULES = {
 def scale_camera(cam: Camera, new_w: int, new_h: int) -> Camera:
     sw = new_w / cam.width
     sh = new_h / cam.height
-    name = cam.model if isinstance(cam.model, str) else cam.model
+    name = cam.model
     rule = _SCALE_RULES.get(name)
     params = list(cam.params)
     if rule is None:

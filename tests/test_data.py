@@ -955,3 +955,86 @@ def test_tartanair_flat_depth_suffix(tmp_path):
     assert len(ds) == 24
     v = ds._get_views(0, 1, (64, 48), np.random.default_rng(0))
     np.testing.assert_allclose(v[0]["depthmap"][0, 0], 5.0)
+
+
+def _make_kubric_scene(root):
+    import cv2
+
+    d = root / "ku" / "scans" / "sc0"
+    os.makedirs(d / "frames")
+    os.makedirs(d / "depths")
+    flip = np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    blender = []
+    for i in range(24):
+        PIL.Image.new("RGB", (64, 48)).save(d / "frames" / f"f{i:04d}.png")
+        cv2.imwrite(str(d / "depths" / f"f{i:04d}.png"),
+                    np.full((48, 64), 32767, np.uint16))
+        blender.append(_pose(i) @ np.linalg.inv(flip))
+    np.save(d / "sc0_dense.npy",
+            dict(intrinsics=np.stack([_K] * 24),
+                 matrix_world=np.stack(blender).astype(np.float32),
+                 depth_range=(1.0, 3.0)))
+    return str(root / "ku")
+
+
+def test_index_cache_preserves_subclass_aux_lists(tmp_path, monkeypatch):
+    """A cache hit must restore the subclass auxiliary per-frame lists
+    (Kubric.depth_ranges & co) alongside the index — a cold cache load
+    previously left them empty and the first depth fetch crashed."""
+    from iggt_official_tpu.data.datasets import Kubric
+
+    root = _make_kubric_scene(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    ds1 = Kubric(root, resolution=(64, 48), use_cache=True)
+    assert len(ds1.depth_ranges) == 24
+    ds2 = Kubric(root, resolution=(64, 48), use_cache=True)
+    assert list(ds2.depth_ranges) == list(ds1.depth_ranges)
+    v1 = ds1._get_views(0, 1, (64, 48), np.random.default_rng(0))
+    v2 = ds2._get_views(0, 1, (64, 48), np.random.default_rng(0))
+    np.testing.assert_allclose(v2[0]["depthmap"], v1[0]["depthmap"])
+    # a cache written without the aux sidecar (pre-fix format) is treated
+    # as stale: the directory rescan repopulates instead of desyncing
+    aux_f = (tmp_path / "annotations" / "kubric_annotations" / "scans"
+             / "aux_lists.json")
+    os.remove(aux_f)
+    ds3 = Kubric(root, resolution=(64, 48), use_cache=True)
+    assert len(ds3.depth_ranges) == 24
+    v3 = ds3._get_views(0, 1, (64, 48), np.random.default_rng(0))
+    np.testing.assert_allclose(v3[0]["depthmap"], v1[0]["depthmap"])
+
+
+def test_sintel_positional_dset(tmp_path):
+    """`Sintel(root, 'clean')` with dset passed positionally must bind it
+    once (the earlier *args signature forwarded it twice -> TypeError)."""
+    from iggt_official_tpu.data.datasets import Sintel, sintel_depth_write
+
+    for sub in ["clean", "depth", "camdata_left"]:
+        os.makedirs(tmp_path / "si" / sub / "alley_1")
+    for i in range(2):
+        PIL.Image.new("RGB", (64, 48)).save(
+            tmp_path / "si" / "clean" / "alley_1" / f"frame_{i:04d}.png")
+        sintel_depth_write(
+            str(tmp_path / "si" / "depth" / "alley_1" / f"frame_{i:04d}.dpt"),
+            np.full((48, 64), 3.0, np.float32))
+        with open(tmp_path / "si" / "camdata_left" / "alley_1"
+                  / f"frame_{i:04d}.cam", "wb") as f:
+            np.asarray([202021.25], np.float32).tofile(f)
+            _K.astype(np.float64).tofile(f)
+            np.linalg.inv(_pose(i))[:3].astype(np.float64).tofile(f)
+    ds = Sintel(str(tmp_path / "si"), "clean", resolution=(64, 48))
+    assert len(ds) == 2 and ds._dset_name == "clean"
+
+
+def test_list_tsv_shards_unnumbered(tmp_path):
+    """Unnumbered tsv files load in a full-range (single-worker) listing
+    but stay out of partitioned subsets, so subset workers never all
+    duplicate the same shard (`sa1b_image.py:154-157`)."""
+    from iggt_official_tpu.data.tsv import list_tsv_shards
+
+    for name in ["data.tsv", "sa1b_0.tsv", "sa1b_1.tsv"]:
+        (tmp_path / name).write_text("k\tv\n")
+    full = [os.path.basename(p) for p in list_tsv_shards(str(tmp_path))]
+    assert full == ["data.tsv", "sa1b_0.tsv", "sa1b_1.tsv"]
+    part = [os.path.basename(p)
+            for p in list_tsv_shards(str(tmp_path), 0, 1)]
+    assert part == ["sa1b_0.tsv"]

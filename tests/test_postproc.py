@@ -323,7 +323,7 @@ def test_native_hdbscan_labels_match_python():
     w = rng.integers(1, 5, 4000).astype(np.float64)
 
     core, kd, ki = _weighted_core_distances(pts, w, 40)
-    ea, eb, ed = _mreach_mst(w, core, kd, ki)
+    ea, eb, ed = _mreach_mst(core, kd, ki)
     for eps, mcs, single in ((0.06, 120, False), (0.0, 50, False),
                              (0.06, 120, True)):
         got = native.hdbscan_mst_labels(ea, eb, ed, w, core,
@@ -404,3 +404,22 @@ def test_knn_smoothing_recall_at_scale():
     err = np.linalg.norm(out[qi] - exact_avg, axis=1)
     err /= np.linalg.norm(exact_avg, axis=1).clip(1e-9)
     assert err.mean() < 0.05, err.mean()
+
+
+def test_native_nn1_tie_break_consistent_across_dispatch():
+    """nearest_neighbor switches between nn1 and nn1_tree at 4096 queries;
+    on duplicate/equidistant reference points both must resolve ties to
+    the smallest original ref index (np.argmin semantics), so a pixel's
+    backfilled label can't depend on the batch size."""
+    native = _native()
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, (64, 8)).astype(np.float32)
+    # interleave duplicates at scattered original indices
+    ref = np.concatenate([base, base[::-1], base[7:40]]).astype(np.float32)
+    query = np.repeat(base, 70, axis=0)[:4480]  # >= 4096 -> tree path
+    got_tree = native.nearest_neighbor(ref, query)
+    got_plain = native.nearest_neighbor(ref, query[:128])  # < 4096 -> nn1
+    d2 = ((query[:, None] - ref[None]) ** 2).sum(-1)
+    want = d2.argmin(1)
+    np.testing.assert_array_equal(got_tree[:128], got_plain)
+    np.testing.assert_array_equal(got_tree, want)
