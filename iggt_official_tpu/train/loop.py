@@ -35,6 +35,7 @@ def train(
     num_layers: int = 24,
     warmup_steps: int = 1000,
     grad_clip: float = 1.0,
+    fsdp: bool = False,
     loss_weights: Optional[Dict[str, float]] = None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 1000,
@@ -78,7 +79,17 @@ def train(
             start_step = int(state.step)
             print_fn(f"resumed from {latest} at step {start_step}")
 
-    step_fn = make_train_step(model, mesh=mesh, loss_weights=loss_weights)
+    if fsdp and mesh is not None:
+        # shard params + optimizer moments over "data" (ZeRO-3 equivalent)
+        from iggt_official_tpu.parallel.mesh import fsdp_sharding
+
+        state = jax.device_put(state, fsdp_sharding(mesh, state))
+        step_fn = make_train_step(
+            model, mesh=mesh, loss_weights=loss_weights, fsdp=True,
+            example_state=state,
+        )
+    else:
+        step_fn = make_train_step(model, mesh=mesh, loss_weights=loss_weights)
     sharding = batch_sharding(mesh) if mesh is not None else None
 
     logger = MetricLogger(print_fn=print_fn)

@@ -175,3 +175,36 @@ def test_shard_map_attention_matches_local(mesh):
         np.testing.assert_allclose(
             np.asarray(out[k]), np.asarray(ref[k]), rtol=5e-3, atol=2e-3
         )
+
+
+def test_train_loop_fsdp(mesh, tmp_path):
+    """train(fsdp=True) wires the ZeRO-3 step end to end: state sharded
+    over "data" before the first step, checkpoints written, loss finite."""
+    from iggt_official_tpu.train.loop import train
+
+    model, cfg = _tiny_model()
+    rng = np.random.default_rng(3)
+    B, S, H, W = 2, 4, 28, 28
+
+    def batches():
+        while True:
+            yield {
+                "images": rng.uniform(0, 1, (B, S, H, W, 3)).astype(np.float32),
+                "pose_enc": rng.normal(0, 1, (B, S, 9)).astype(np.float32),
+                "depth": rng.uniform(0.5, 2, (B, S, H, W, 1)).astype(np.float32),
+                "world_points": rng.normal(0, 1, (B, S, H, W, 3)).astype(np.float32),
+                "valid_mask": np.ones((B, S, H, W), np.float32),
+                "instance_ids": rng.integers(0, 4, (B, S, H, W)).astype(np.int32),
+            }
+
+    logs = []
+    state = train(
+        model, batches(), num_steps=2, mesh=mesh, fsdp=True,
+        num_layers=cfg.aggregator.depth, warmup_steps=1, log_every=1,
+        checkpoint_dir=str(tmp_path / "ck"), checkpoint_every=1,
+        print_fn=logs.append,
+    )
+    assert int(state.step) == 2
+    leaves = [x for x in jax.tree.leaves(state.params) if x.size >= 64]
+    assert any(not x.sharding.is_fully_replicated for x in leaves)
+    assert any("loss/total" in l for l in logs)
