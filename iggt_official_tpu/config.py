@@ -32,6 +32,17 @@ class ViTConfig:
     interpolate_offset: float = 0.0
     ln_eps: float = 1e-6
 
+    def __post_init__(self):
+        # the DinoViT pos-embed interpolation implements the released
+        # checkpoint's semantics (antialias=True, offset=0.0 — the
+        # `*_reg` factories, `vision_transformer.py:183-215`); fail fast
+        # rather than silently ignore other settings
+        if not self.interpolate_antialias or self.interpolate_offset != 0.0:
+            raise NotImplementedError(
+                "only interpolate_antialias=True, interpolate_offset=0.0 "
+                "(the dinov2_vitl14_reg semantics) are implemented"
+            )
+
     @property
     def head_dim(self) -> int:
         return self.embed_dim // self.num_heads
@@ -53,11 +64,21 @@ class AggregatorConfig:
     ffn_bias: bool = True
     patch_embed: str = "dinov2_vitl14_reg"  # or "conv"
     aa_order: Tuple[str, ...] = ("frame", "global")
+    # consecutive blocks per frame/global alternation step; the released
+    # checkpoint (and reference default) is 1 and only 1 is implemented
     aa_block_size: int = 1
     qk_norm: bool = True
     rope_freq: float = 100.0
     init_values: float = 0.01  # layerscale for the AA blocks
     vit: ViTConfig = dataclasses.field(default_factory=ViTConfig)
+
+    def __post_init__(self):
+        if self.aa_block_size != 1:
+            raise NotImplementedError(
+                "aa_block_size > 1 (block-grouped alternation) is not "
+                "implemented; the reference default and released "
+                "checkpoint use 1"
+            )
 
     @property
     def patch_start_idx(self) -> int:
@@ -180,6 +201,9 @@ class ModelConfig:
     # `demo.py:191-195` + `vggt.py:189` + `heads/block.py:165-170`.
     trunk_dtype: str = "bfloat16"
     head_dtype: str = "float32"
+    # upper bound on views decoded per DPT-head scan chunk (peak-HBM knob,
+    # ref `dpt_head.py:130` frames_chunk_size); 0 decodes all views at once
+    frames_chunk_size: int = 8
 
     @property
     def depth_head(self) -> DPTConfig:
@@ -191,6 +215,7 @@ class ModelConfig:
             conf_activation="expp1",
             intermediate_layer_idx=self.intermediate_layer_idx,
             use_point_feat=False,
+            frames_chunk_size=self.frames_chunk_size,
         )
 
     @property
@@ -203,6 +228,7 @@ class ModelConfig:
             conf_activation="expp1",
             intermediate_layer_idx=self.intermediate_layer_idx,
             use_point_feat=(self.name == "iggt"),
+            frames_chunk_size=self.frames_chunk_size,
         )
 
     def scaled(self, embed_dim: int, depth: int, num_heads: int,

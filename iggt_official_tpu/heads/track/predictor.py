@@ -56,7 +56,7 @@ class BaseTrackerPredictor(nn.Module):
         track_feats = jnp.tile(query_track_feat[:, None], (1, S, 1, 1))
         coords0 = coords
 
-        pyramid = build_pyramid(fmaps, cfg.corr_levels)
+        pyramid, pyr_scales = build_pyramid(fmaps, cfg.corr_levels)
 
         corr_mlp = Mlp(
             hidden_features=cfg.hidden_size,
@@ -89,7 +89,8 @@ class BaseTrackerPredictor(nn.Module):
         for _ in range(iters):
             coords = jax.lax.stop_gradient(coords)
 
-            fcorrs = corr_sample(pyramid, track_feats, coords, cfg.corr_radius)
+            fcorrs = corr_sample(pyramid, pyr_scales, track_feats,
+                                 coords, cfg.corr_radius)
             corr_dim = fcorrs.shape[-1]
             fcorrs_ = jnp.swapaxes(fcorrs, 1, 2).reshape(B * N, S, corr_dim)
             fcorrs_ = corr_mlp(fcorrs_)

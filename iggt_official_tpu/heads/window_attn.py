@@ -133,7 +133,12 @@ def rpi_window_oca(ws: int, ows: int) -> np.ndarray:
 
 class WindowAttention(nn.Module):
     """Windowed MHA with a relative-position-bias table
-    (`window_sa.py:83-121`).  x: (B_, N, C); bias index rpi: (N, N)."""
+    (`window_sa.py:83-121`).  x: (B_, N, C); bias index rpi: (N, N).
+
+    NOTE: parity artifact only — the shipped model does NOT route HAB
+    through this class (the reference computes the rpi bias but its
+    checkpoint path never adds it, so HAB inlines bias-free attention);
+    wiring this into HAB would BREAK converted-checkpoint parity."""
 
     dim: int
     window_size: int

@@ -143,13 +143,15 @@ class Aggregator(nn.Module):
             protect_np = (frame_id == 0) | (pos_in_frame < patch_start_idx)
             n_candidates = int((~protect_np)[1::2].sum())
             r = min(self.global_merge_r, n_candidates)
-            protect = jnp.broadcast_to(
-                jnp.asarray(protect_np)[None], (B, S * P)
-            )
-            plan = compute_merge_plan(
-                tokens.reshape(B, S * P, C).astype(jnp.float32), r, protect
-            )
-            merged_attn = make_merged_attention(plan)
+            if r > 0:  # S=1 protects every token -> merging is a no-op
+                protect = jnp.broadcast_to(
+                    jnp.asarray(protect_np)[None], (B, S * P)
+                )
+                plan = compute_merge_plan(
+                    tokens.reshape(B, S * P, C).astype(jnp.float32), r,
+                    protect,
+                )
+                merged_attn = make_merged_attention(plan)
 
         def make_block(kind: str, i: int) -> Block:
             attn = self.attn_fn

@@ -55,9 +55,13 @@ def _chunk_views(x, B, nc, cs):
     )
 
 
-def _unchunk_views(x, B, nc, cs):
-    """Inverse of `_chunk_views` on scan outputs."""
-    if x.shape[1] == B:            # (nc, B, cs, ...)
+def _unchunk_views(x, B, nc, cs, flat: bool):
+    """Inverse of `_chunk_views` on scan outputs.
+
+    ``flat`` must be passed explicitly: when cs == 1 (prime view counts
+    above the chunk bound) the batched (nc, B, cs, ...) and flat
+    (nc, B*cs, ...) layouts are indistinguishable by shape sniffing."""
+    if not flat:                   # (nc, B, cs, ...)
         return x.swapaxes(0, 1).reshape(B, nc * cs, *x.shape[3:])
     # (nc, B*cs, ...)
     rest = x.shape[2:]
@@ -122,7 +126,18 @@ def _apply_dpt_chunked(cfg_head, name, tokens_list, images_hw, patch_start_idx,
     out = _scan_chunks(
         head, ([_chunk_views(t, B, nc, cs) for t in tokens_list],), nc
     )
-    return jax.tree.map(lambda x: _unchunk_views(x, B, nc, cs), out)
+    # DPTHead emits (B, cs, H, W, c) preds/conf; the use_point_feat fusion
+    # pyramid stays flat (B*cs, h, w, c) (`dpt_head.py:216-221`)
+    if isinstance(out, tuple) and len(out) == 3:
+        preds, conf, pyramid = out
+        return (
+            _unchunk_views(preds, B, nc, cs, flat=False),
+            _unchunk_views(conf, B, nc, cs, flat=False),
+            tuple(_unchunk_views(p, B, nc, cs, flat=True) for p in pyramid),
+        )
+    return jax.tree.map(
+        lambda x: _unchunk_views(x, B, nc, cs, flat=False), out
+    )
 
 
 class VGGT(nn.Module):
@@ -245,19 +260,44 @@ class IGGT(nn.Module):
             preds["depth"] = depth
             preds["depth_conf"] = depth_conf
 
-        point_pyramid = None
+        point_pyramid = None          # flat (B*S, h, w, c) levels
+        point_pyramid_chunked = None  # still-chunked (nc, B*cs, h, w, c)
+        plan_pt = None
         if cfg.enable_point:
-            pts3d, pts3d_conf, point_pyramid = _apply_dpt_chunked(
-                cfg.point_head, "point_head", tokens_list, (H, W),
-                patch_start_idx, dtype=_dtype(cfg.head_dtype)
+            plan_pt = _view_chunking(S, cfg.point_head.frames_chunk_size)
+            point_head = DPTHead(
+                cfg.point_head, images_hw=(H, W),
+                patch_start_idx=patch_start_idx,
+                dtype=_dtype(cfg.head_dtype), name="point_head",
             )
+            if plan_pt is None:
+                pts3d, pts3d_conf, point_pyramid = point_head(tokens_list)
+            else:
+                nc, cs = plan_pt
+                pts3d, pts3d_conf, point_pyramid_chunked = _scan_chunks(
+                    point_head,
+                    ([_chunk_views(t, B, nc, cs) for t in tokens_list],), nc,
+                )
+                pts3d = _unchunk_views(pts3d, B, nc, cs, flat=False)
+                pts3d_conf = _unchunk_views(pts3d_conf, B, nc, cs, flat=False)
+                # the full-resolution fusion pyramid stays in its scan
+                # layout: when the part head scans with the same plan (the
+                # default — both bounds are cfg.frames_chunk_size) it
+                # consumes it directly, skipping an HBM round trip of the
+                # three largest intermediates
             preds["world_points"] = pts3d
             preds["world_points_conf"] = pts3d_conf
 
         if cfg.enable_part:
-            assert point_pyramid is not None, "part head needs the point pyramid"
+            assert cfg.enable_point, "part head needs the point pyramid"
             plan = _view_chunking(S, cfg.part.frames_chunk_size)
             cs = plan[1] if plan else S
+            if point_pyramid is None and plan != plan_pt:
+                # differing chunk plans: materialize the flat layout once
+                point_pyramid = [
+                    _unchunk_views(p, B, *plan_pt, flat=True)
+                    for p in point_pyramid_chunked
+                ]
             projector_head = SamProjector(
                 dim_in=cfg.part.dim_in,
                 patch_size=cfg.part.patch_size,
@@ -278,10 +318,14 @@ class IGGT(nn.Module):
             else:
                 nc, cs = plan
                 ctoks = [_chunk_views(t, B, nc, cs) for t in tokens_list]
-                cpyr = [_chunk_views(t, B, nc, cs) for t in point_pyramid]
+                cpyr = (
+                    list(point_pyramid_chunked)
+                    if plan == plan_pt and point_pyramid_chunked is not None
+                    else [_chunk_views(t, B, nc, cs) for t in point_pyramid]
+                )
                 projector = _scan_chunks(projector_head, (ctoks,), nc)
                 part_feat = _scan_chunks(part_head, (projector, cpyr), nc)
-                part_feat = _unchunk_views(part_feat, B, nc, cs)
+                part_feat = _unchunk_views(part_feat, B, nc, cs, flat=False)
             preds["part_feat"] = part_feat
         if cfg.enable_track and query_points is not None:
             coord_preds, vis, conf = TrackHead(cfg.track, name="track_head")(

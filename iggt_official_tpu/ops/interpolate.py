@@ -70,12 +70,6 @@ def bilinear_resize_align_corners(
     return out.astype(x.dtype)
 
 
-def upsample2x_align_corners(x: jax.Array) -> jax.Array:
-    """scale_factor=2 bilinear upsample, align_corners=True (NHWC)."""
-    H, W = x.shape[-3], x.shape[-2]
-    return bilinear_resize_align_corners(x, (2 * H, 2 * W))
-
-
 def resize_antialias_bicubic(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     """Antialiased bicubic resize (NHWC / HWC), for pos-embed interpolation.
 

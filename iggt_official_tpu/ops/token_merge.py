@@ -20,7 +20,8 @@ accuracy change.  Differences from the torch formulation, for TPU:
 Matching is ToMe-style bipartite soft matching (even positions = targets,
 odd positions = merge candidates) on cosine similarity; protected tokens
 (camera/register tokens and the whole reference frame 0) are excluded
-from the candidate side.
+from BOTH sides — they are never merged away and never receive merges, so
+their keys/values pass through bit-exact.
 """
 
 from __future__ import annotations
@@ -44,7 +45,8 @@ def compute_merge_plan(
 ) -> MergePlan:
     """Bipartite soft matching over tokens ``x`` (B, N, C).
 
-    ``protect`` (B, N) bool marks tokens that must never be merged away.
+    ``protect`` (B, N) bool marks tokens that neither merge away nor
+    receive merges (their K/V pass through exactly).
     ``r`` must not exceed the number of unprotected odd-position tokens —
     the caller clamps it (the protected set is static in practice).
     """
@@ -60,6 +62,8 @@ def compute_merge_plan(
     a, b = xn[:, 1::2], xn[:, 0::2]
     scores = jnp.einsum("bac,bkc->bak", a, b)          # (B, na, nb)
     scores = jnp.where(protect[:, 1::2][:, :, None], -jnp.inf, scores)
+    # protected targets receive no merges either: their K/V stay exact
+    scores = jnp.where(protect[:, 0::2][:, None, :], -jnp.inf, scores)
 
     best = jnp.max(scores, axis=-1)                     # (B, na)
     best_dst = jnp.argmax(scores, axis=-1)              # (B, na) into b-set

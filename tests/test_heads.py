@@ -471,3 +471,111 @@ def test_iggt_bf16_head_fast_mode():
         np.asarray(ref["pose_enc"]), np.asarray(fast["pose_enc"]),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_iggt_prime_view_count_chunked():
+    """S=11 (prime, above frames_chunk_size=8) forces single-view scan
+    chunks (cs=1); the batched and flat scan-output layouts coincide in
+    shape there, so the unchunk path must be told which it has instead of
+    sniffing (a shape-sniff crash shipped in round 2)."""
+    from iggt_official_tpu.models.vggt import IGGT
+
+    cfg = ModelConfig().scaled(
+        embed_dim=32, depth=2, num_heads=2, img_size=28, patch_embed="conv"
+    )
+    model = IGGT(cfg)
+    rng = np.random.default_rng(9)
+    B, S, H, W = 1, 11, 28, 28
+    imgs = jnp.asarray(rng.uniform(0, 1, (B, S, H, W, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), imgs)
+    preds = model.apply(params, imgs)
+    assert preds["depth"].shape == (B, S, H, W, 1)
+    assert preds["part_feat"].shape == (B, S, H, W, 8)
+    for v in jax.tree.leaves(preds):
+        assert np.isfinite(np.asarray(v)).all()
+    # cross-check against the unchunked decode: chunking is layout-only
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, frames_chunk_size=0)
+    preds2 = IGGT(cfg2).apply(params, imgs)
+    np.testing.assert_allclose(
+        np.asarray(preds2["depth"]), np.asarray(preds["depth"]),
+        rtol=2e-4, atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(preds2["part_feat"]), np.asarray(preds["part_feat"]),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_window_attention_bias_parity(ref):
+    """`window_sa.py:83-121` WindowAttention (relative-position-bias MHA).
+
+    Parity artifact: the shipped HAB deliberately does NOT use this class
+    (the reference routes HAB through MemEffAttention, which ignores the
+    rpi argument), but the reference ships it and this pins our port."""
+    import torch
+    from iggt.heads.window_sa import WindowAttention as TWindowAttention
+
+    from iggt_official_tpu.heads.window_attn import (
+        WindowAttention,
+        rpi_window_sa,
+    )
+
+    rng = np.random.default_rng(4)
+    torch.manual_seed(4)
+    ws, dim, heads = 4, 32, 4
+    twin = TWindowAttention(dim, (ws, ws), heads).eval()
+    with torch.no_grad():
+        twin.relative_position_bias_table.copy_(
+            torch.from_numpy(
+                rng.normal(0, 0.5, twin.relative_position_bias_table.shape)
+                .astype("f")
+            )
+        )
+    rpi = rpi_window_sa(ws)
+    x = rng.normal(0, 1, (6, ws * ws, dim)).astype(np.float32)
+    with torch.no_grad():
+        want = twin(torch.from_numpy(x), torch.from_numpy(rpi.astype(np.int64)))
+
+    win = WindowAttention(dim=dim, window_size=ws, num_heads=heads)
+    got = win.apply({"params": _convert(twin)}, jnp.asarray(x), jnp.asarray(rpi))
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy(), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_geo_projector_parity(ref):
+    """`adaptor.py:38-138` GeoProjector {res2..res5} pyramid (the
+    reference ships it alongside SamProjector; unused by the demo)."""
+    import torch
+    from iggt.heads.adaptor import GeoProjector as TGeoProjector
+
+    rng = np.random.default_rng(5)
+    torch.manual_seed(5)
+    tproj = TGeoProjector(dim_in=32, out_channels=[8, 8, 8, 8]).eval()
+    tproj.intermediate_layer_idx = [0, 1, 2, 3]
+
+    B, S, H, W = 1, 2, 28, 42
+    ph, pw = H // 14, W // 14
+    toks = _token_list(rng, 4, B, S, 5 + ph * pw, 32)
+    imgs = torch.zeros(B, S, 3, H, W)
+    with torch.no_grad():
+        ref_out = tproj([torch.from_numpy(t) for t in toks], imgs, 5)
+
+    from iggt_official_tpu.heads.adaptor import GeoProjector
+
+    proj = GeoProjector(
+        dim_in=32, intermediate_layer_idx=(0, 1, 2, 3),
+        out_channels=(8, 8, 8, 8),
+    )
+    out = proj.apply(
+        {"params": _convert(tproj)}, [jnp.asarray(t) for t in toks], (H, W), 5
+    )
+    assert set(out) == {"res2", "res3", "res4", "res5"}
+    for key, theirs in ref_out.items():
+        np.testing.assert_allclose(
+            np.asarray(out[key]),
+            theirs.detach().numpy().transpose(0, 2, 3, 1),
+            rtol=2e-4, atol=2e-4,
+        )

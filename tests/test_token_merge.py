@@ -34,6 +34,8 @@ def test_plan_partitions_tokens_and_respects_protection():
         # every merge lands on an even (kept) position
         dst_tokens = np.asarray(plan.kept_idx[b])[np.asarray(plan.dst[b])]
         assert all(t % 2 == 0 for t in dst_tokens)
+        # ... and never on a protected token: their K/V stay bit-exact
+        assert not set(dst_tokens.tolist()) & set(range(6))
 
 
 def test_merged_attention_exact_on_duplicate_tokens():
@@ -107,3 +109,44 @@ def test_aggregator_global_merge_runs():
     np.testing.assert_allclose(
         np.asarray(got["depth"]), np.asarray(ref["depth"]), rtol=0.1, atol=0.05
     )
+
+
+def test_protected_kv_pass_through_exact():
+    """Protected tokens are neither merged away nor merge targets, so
+    their merged K/V rows equal the originals bit-for-bit."""
+    B, N, H, D = 1, 32, 2, 8
+    k = _rand((B, N, H, D), seed=3)
+    v = _rand((B, N, H, D), seed=4)
+    protect = np.zeros((B, N), bool)
+    protect[:, :10] = True
+    plan = compute_merge_plan(
+        k.reshape(B, N, H * D), r=6, protect=jnp.asarray(protect)
+    )
+    k_m, v_m, log_s = merge_kv(k, v, plan)
+    kept = np.asarray(plan.kept_idx[0])
+    for slot, tok in enumerate(kept):
+        if tok < 10:
+            np.testing.assert_array_equal(
+                np.asarray(k_m[0, slot]), np.asarray(k[0, tok]))
+            np.testing.assert_array_equal(
+                np.asarray(v_m[0, slot]), np.asarray(v[0, tok]))
+            assert float(log_s[0, slot]) == 0.0
+
+
+def test_single_view_merge_request_is_noop():
+    """S=1 protects every token; a nonzero global_merge_r must quietly
+    disable merging instead of raising at trace time."""
+    import dataclasses
+
+    from iggt_official_tpu.config import ModelConfig
+    from iggt_official_tpu.models.vggt import VGGT
+
+    cfg = ModelConfig().scaled(
+        embed_dim=32, depth=2, num_heads=2, img_size=28, patch_embed="conv"
+    )
+    cfg = dataclasses.replace(cfg, enable_part=False, name="vggt")
+    model = VGGT(cfg)
+    images = _rand((1, 1, 28, 28, 3), seed=5)
+    params = model.init(jax.random.PRNGKey(0), images)
+    out = model.apply(params, images, global_merge_r=64)
+    assert np.isfinite(np.asarray(out["depth"])).all()

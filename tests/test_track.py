@@ -143,3 +143,28 @@ def test_tracker_predictor_parity(ref):
     np.testing.assert_allclose(
         np.asarray(conf), ref_conf.numpy(), rtol=1e-3, atol=1e-3
     )
+
+
+def test_corr_pyramid_repeated_levels_share_scale():
+    """When the feature map exhausts before corr_levels, the repeated
+    coarsest maps must be sampled at the coarsest level's ACTUAL scale
+    (not 2**lvl), so their correlation windows match the real level's."""
+    import jax.numpy as jnp
+
+    from iggt_official_tpu.heads.track.corr import build_pyramid, corr_sample
+
+    rng = np.random.default_rng(0)
+    B, S, H, W, C = 1, 2, 8, 8, 16
+    fmaps = jnp.asarray(rng.normal(0, 1, (B, S, H, W, C)).astype(np.float32))
+    levels, scales = build_pyramid(fmaps, num_levels=7)
+    assert [l.shape[2] for l in levels] == [8, 4, 2, 1, 1, 1, 1]
+    assert scales == [1.0, 2.0, 4.0, 8.0, 8.0, 8.0, 8.0]
+
+    targets = jnp.asarray(rng.normal(0, 1, (B, S, 3, C)).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(0, 8, (B, S, 3, 2)).astype(np.float32))
+    out = corr_sample(levels, scales, targets, coords, radius=2)
+    K = 25
+    out = np.asarray(out).reshape(B, S, 3, 7, K)
+    # levels 3..6 are the same map at the same scale -> identical samples
+    for lvl in (4, 5, 6):
+        np.testing.assert_array_equal(out[..., lvl, :], out[..., 3, :])
