@@ -156,6 +156,57 @@ def write_cameras_text(cameras: Dict[int, Camera], path) -> None:
 # images
 
 
+def read_images_text(path) -> Dict[int, Image]:
+    """Two lines per image: header (id qw qx qy qz tx ty tz cam name) then
+    the 2D-point track triplets (x y point3D_id)*."""
+    images = {}
+    with open(path) as f:
+        lines = iter(f)
+        pairs = []
+        for ln in lines:
+            ln = ln.strip()
+            if not ln or ln.startswith("#"):
+                continue
+            # header found; the NEXT line is its (possibly empty) track
+            pairs.append((ln, next(lines, "").strip()))
+    for header, track in pairs:
+        elems = header.split()
+        image_id = int(elems[0])
+        qvec = np.array(tuple(map(float, elems[1:5])))
+        tvec = np.array(tuple(map(float, elems[5:8])))
+        camera_id = int(elems[8])
+        name = elems[9]
+        t = track.split()
+        if t:
+            xys = np.column_stack(
+                [tuple(map(float, t[0::3])), tuple(map(float, t[1::3]))]
+            )
+            p3d = np.array(tuple(map(int, t[2::3])), dtype=np.int64)
+        else:
+            xys = np.zeros((0, 2))
+            p3d = np.zeros((0,), dtype=np.int64)
+        images[image_id] = Image(
+            image_id, qvec, tvec, camera_id, name, xys, p3d
+        )
+    return images
+
+
+def write_images_text(images: Dict[int, Image], path) -> None:
+    with open(path, "w") as f:
+        f.write("# Image list\n")
+        for img in images.values():
+            q = " ".join(repr(float(v)) for v in img.qvec)
+            t = " ".join(repr(float(v)) for v in img.tvec)
+            f.write(f"{img.id} {q} {t} {img.camera_id} {img.name}\n")
+            f.write(
+                " ".join(
+                    f"{float(xy[0])!r} {float(xy[1])!r} {int(pid)}"
+                    for xy, pid in zip(img.xys, img.point3D_ids)
+                )
+                + "\n"
+            )
+
+
 def read_images_binary(path) -> Dict[int, Image]:
     images = {}
     with open(path, "rb") as f:
@@ -239,6 +290,40 @@ def write_points3D_binary(points: Dict[int, Point3D], path) -> None:
                 _write_next_bytes(f, [int(iid), int(p2d)], "ii")
 
 
+def read_points3D_text(path) -> Dict[int, Point3D]:
+    points = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            elems = line.split()
+            pid = int(elems[0])
+            xyz = np.array(tuple(map(float, elems[1:4])))
+            rgb = np.array(tuple(map(int, elems[4:7])))
+            error = float(elems[7])
+            track = elems[8:]
+            points[pid] = Point3D(
+                pid, xyz, rgb, error,
+                np.array(tuple(map(int, track[0::2])), dtype=np.int64),
+                np.array(tuple(map(int, track[1::2])), dtype=np.int64),
+            )
+    return points
+
+
+def write_points3D_text(points: Dict[int, Point3D], path) -> None:
+    with open(path, "w") as f:
+        f.write("# 3D point list\n")
+        for pt in points.values():
+            xyz = " ".join(repr(float(v)) for v in pt.xyz)
+            rgb = " ".join(str(int(v)) for v in pt.rgb)
+            track = " ".join(
+                f"{int(i)} {int(p)}"
+                for i, p in zip(pt.image_ids, pt.point2D_idxs)
+            )
+            f.write(f"{pt.id} {xyz} {rgb} {float(pt.error)!r} {track}\n")
+
+
 def read_model(path, ext: str = ".bin"):
     """Read (cameras, images, points3D) from a sparse model dir."""
     if ext == ".bin":
@@ -247,13 +332,18 @@ def read_model(path, ext: str = ".bin"):
         points = read_points3D_binary(os.path.join(path, "points3D.bin"))
     else:
         cameras = read_cameras_text(os.path.join(path, "cameras.txt"))
-        raise NotImplementedError("text images/points readers: use .bin")
+        images = read_images_text(os.path.join(path, "images.txt"))
+        points = read_points3D_text(os.path.join(path, "points3D.txt"))
     return cameras, images, points
 
 
 def write_model(cameras, images, points, path, ext: str = ".bin"):
-    assert ext == ".bin"
     os.makedirs(path, exist_ok=True)
-    write_cameras_binary(cameras, os.path.join(path, "cameras.bin"))
-    write_images_binary(images, os.path.join(path, "images.bin"))
-    write_points3D_binary(points, os.path.join(path, "points3D.bin"))
+    if ext == ".bin":
+        write_cameras_binary(cameras, os.path.join(path, "cameras.bin"))
+        write_images_binary(images, os.path.join(path, "images.bin"))
+        write_points3D_binary(points, os.path.join(path, "points3D.bin"))
+    else:
+        write_cameras_text(cameras, os.path.join(path, "cameras.txt"))
+        write_images_text(images, os.path.join(path, "images.txt"))
+        write_points3D_text(points, os.path.join(path, "points3D.txt"))

@@ -330,14 +330,21 @@ class SAM2Base(nn.Module):
 
         if cfg.use_obj_ptrs_in_encoder:
             split = max(cfg.d_model // md, 1)
-            max_ptrs = len(obj_ptrs)
+            if isinstance(obj_ptrs, (tuple, list)):
+                ptrs = jnp.stack(obj_ptrs)[None]   # (1, max_ptrs, d_model)
+            else:
+                ptrs = obj_ptrs                    # (B, max_ptrs, d_model)
+            max_ptrs = ptrs.shape[1]
             n_ptr_tokens = max_ptrs * split
-            ptr_tokens = jnp.stack(obj_ptrs).reshape(1, n_ptr_tokens, md)
+            ptr_tokens = ptrs.reshape(ptrs.shape[0], n_ptr_tokens, md)
             if cfg.add_tpos_enc_to_obj_ptrs:
                 enc = self.obj_ptr_tpos(ptr_pos_norm)         # (max_ptrs, md)
             else:
                 enc = jnp.zeros((max_ptrs, md), jnp.float32)
-            ptr_pos = jnp.repeat(enc, split, axis=0)[None]
+            ptr_pos = jnp.broadcast_to(
+                jnp.repeat(enc, split, axis=0)[None],
+                (ptr_tokens.shape[0], n_ptr_tokens, md),
+            )
             ptr_mask = (
                 jnp.arange(n_ptr_tokens) < n_valid_ptrs * split
             )[None]

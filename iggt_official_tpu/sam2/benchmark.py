@@ -42,6 +42,10 @@ def main() -> None:
     parser.add_argument("--tiny", action="store_true",
                         help="use the tiny test config")
     parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument(
+        "--streaming", action="store_true",
+        help="per-frame streaming loop instead of the whole-video scan",
+    )
     args = parser.parse_args()
 
     from iggt_official_tpu.sam2.build import build_sam2_video_predictor
@@ -64,9 +68,15 @@ def main() -> None:
         labels=np.array([1]),
     )
 
-    # warmup (compiles the per-frame programs)
-    for i, _ in enumerate(predictor.propagate_in_video(state)):
-        if i >= args.warmup:
+    propagate = (
+        predictor.propagate_in_video
+        if args.streaming
+        else predictor.propagate_in_video_batch
+    )
+
+    # warmup (compiles the per-frame / whole-video programs)
+    for i, _ in enumerate(propagate(state)):
+        if args.streaming and i >= args.warmup:
             break
 
     predictor.reset_state(state)
@@ -77,7 +87,7 @@ def main() -> None:
     )
     t0 = time.perf_counter()
     count = 0
-    for _, _, masks in predictor.propagate_in_video(state):
+    for _, _, masks in propagate(state):
         # force this frame's compute to finish (small host fetch rather
         # than the full mask: measures stream latency, not the tunnel's
         # transfer bandwidth)

@@ -142,6 +142,68 @@ def test_video_predictor_propagation(tiny_sam):
     assert len(state["non_cond_frame_outputs"][1]) == 3
 
 
+def test_video_propagation_scan_matches_streaming(tiny_sam):
+    """The whole-video lax.scan path reproduces the per-frame streaming
+    loop (same memory-bank/pointer selection) for the single-cond-frame
+    VOS protocol, including multi-object batching."""
+    model, variables = tiny_sam
+    rng = np.random.default_rng(2)
+    frames = [
+        rng.integers(0, 255, (48, 64, 3), dtype=np.uint8) for _ in range(5)
+    ]
+
+    def run(method_name):
+        pred = SAM2VideoPredictor(model, variables)
+        state = pred.init_state(frames)
+        pred.add_new_points_or_box(
+            state, frame_idx=0, obj_id=1,
+            points=np.array([[30.0, 20.0]]), labels=np.array([1]),
+        )
+        pred.add_new_points_or_box(
+            state, frame_idx=0, obj_id=2,
+            points=np.array([[10.0, 40.0]]), labels=np.array([1]),
+        )
+        outs = list(getattr(pred, method_name)(state))
+        return outs, state
+
+    stream_outs, _ = run("propagate_in_video")
+    batch_outs, batch_state = run("propagate_in_video_batch")
+
+    assert [f for f, _, _ in batch_outs] == [f for f, _, _ in stream_outs]
+    for (f, ids_s, m_s), (_, ids_b, m_b) in zip(stream_outs, batch_outs):
+        assert ids_s == ids_b == [1, 2]
+        assert m_b.shape == m_s.shape
+        np.testing.assert_allclose(
+            np.asarray(m_b), np.asarray(m_s), rtol=1e-4, atol=2e-4,
+        )
+    # bookkeeping matches the streaming layout so later interactions work
+    nc = batch_state["non_cond_frame_outputs"][1]
+    assert sorted(nc) == [1, 2, 3, 4]
+    assert np.asarray(nc[2]["obj_ptr"]).ndim == 1
+
+
+def test_video_propagation_batch_fallback(tiny_sam):
+    """Prompts on different frames don't fit the scan pattern: the batch
+    API must fall back to the streaming loop and still yield every frame."""
+    model, variables = tiny_sam
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 255, (48, 64, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    pred = SAM2VideoPredictor(model, variables)
+    state = pred.init_state(frames)
+    pred.add_new_points_or_box(
+        state, frame_idx=0, obj_id=1,
+        points=np.array([[30.0, 20.0]]), labels=np.array([1]),
+    )
+    pred.add_new_points_or_box(
+        state, frame_idx=1, obj_id=2,
+        points=np.array([[10.0, 40.0]]), labels=np.array([1]),
+    )
+    outs = list(pred.propagate_in_video_batch(state))
+    assert [f for f, _, _ in outs] == [0, 1, 2]
+
+
 def test_amg_helpers():
     from iggt_official_tpu.sam2.amg import (
         area_from_rle,

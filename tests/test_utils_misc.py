@@ -78,7 +78,8 @@ def test_track_visualization(tmp_path):
     assert (frames != (images * 255).astype(np.uint8)).any()
 
 
-def test_colmap_roundtrip(tmp_path):
+@pytest.mark.parametrize("ext", [".bin", ".txt"])
+def test_colmap_roundtrip(tmp_path, ext):
     from iggt_official_tpu.data.colmap import (
         Camera,
         Image,
@@ -99,9 +100,12 @@ def test_colmap_roundtrip(tmp_path):
     for i in range(1, 4):
         R = Rotation.random(random_state=i).as_matrix()
         q = rotmat2qvec(R)
+        # image 2 has an empty track (the text format writes a blank line)
+        xys = np.zeros((0, 2)) if i == 2 else rng.uniform(0, 640, (4, 2))
+        p3d = (np.zeros((0,), np.int64) if i == 2
+               else np.array([1, -1, 2, -1]))
         images[i] = Image(
-            i, q, rng.normal(0, 1, 3), 1, f"img_{i}.jpg",
-            rng.uniform(0, 640, (4, 2)), np.array([1, -1, 2, -1]),
+            i, q, rng.normal(0, 1, 3), 1, f"img_{i}.jpg", xys, p3d,
         )
     points = {
         1: Point3D(1, rng.normal(0, 1, 3), np.array([255, 0, 0]), 0.5,
@@ -109,8 +113,8 @@ def test_colmap_roundtrip(tmp_path):
         2: Point3D(2, rng.normal(0, 1, 3), np.array([0, 255, 0]), 0.7,
                    np.array([3]), np.array([2])),
     }
-    write_model(cameras, images, points, str(tmp_path))
-    c2, i2, p2 = read_model(str(tmp_path))
+    write_model(cameras, images, points, str(tmp_path), ext=ext)
+    c2, i2, p2 = read_model(str(tmp_path), ext=ext)
     assert c2[1].model == "PINHOLE"
     np.testing.assert_allclose(c2[1].params, cameras[1].params)
     for i in images:
