@@ -26,14 +26,21 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from iggt_official_tpu.ops.flash_attention import attention
-from iggt_official_tpu.parallel.mesh import AXIS_DATA, AXIS_SEQ
+from iggt_official_tpu.parallel.mesh import AXIS_DATA, AXIS_MODEL, AXIS_SEQ
+
+
+def _head_axis(mesh: Mesh):
+    """Shard the head axis over "model" when the mesh has a tp axis (the
+    Megatron head split); on 2-axis meshes heads stay local."""
+    return AXIS_MODEL if AXIS_MODEL in mesh.axis_names else None
 
 
 def make_frame_attention(
     mesh: Mesh, base_fn: Callable = attention
 ) -> Callable:
-    """Batch-sharded local attention for the frame blocks."""
-    spec = P((AXIS_DATA, AXIS_SEQ), None, None, None)
+    """Batch-sharded local attention for the frame blocks (q/k/v are
+    (B*S, P, H, D); heads shard over "model" on tp meshes)."""
+    spec = P((AXIS_DATA, AXIS_SEQ), None, _head_axis(mesh), None)
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
