@@ -93,7 +93,11 @@ def main() -> None:
 
     from iggt_official_tpu.ops.flash_attention import attention
 
-    fwd = jax.jit(lambda p, x: model.apply(p, x, attn_fn=attention))
+    # fused_ln: Pallas fused LayerNorm, bit-identical to the XLA LN
+    # (tests/test_heads.py::test_fused_ln_bit_identical) — parity numerics
+    fwd = jax.jit(
+        lambda p, x: model.apply(p, x, attn_fn=attention, fused_ln=True)
+    )
 
     def sync(o):
         # NB: jax.block_until_ready returns without waiting through the

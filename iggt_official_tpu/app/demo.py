@@ -100,6 +100,8 @@ class IGGTProcessor:
             kwargs["attn_fn"] = attention
         if self.runtime.global_merge_r:
             kwargs["global_merge_r"] = self.runtime.global_merge_r
+        if self.runtime.fused_ln:
+            kwargs["fused_ln"] = True
         self._forward = jax.jit(
             lambda p, x: self.model.apply(p, x, **kwargs)
         )

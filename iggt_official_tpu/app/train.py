@@ -47,7 +47,7 @@ def build_model(args):
 
 
 def build_mesh(args):
-    """("data", "seq") mesh; joins the multi-host job when one is
+    """("data", "seq", "model") mesh; joins the multi-host job when one is
     configured in the environment (ranks via env/SLURM discovery)."""
     from iggt_official_tpu.parallel import init as dist_init
     from iggt_official_tpu.parallel.mesh import make_mesh
@@ -55,9 +55,13 @@ def build_mesh(args):
     env = dist_init.discover_env()
     if env.distributed:
         dist_init.initialize(env)
-        mesh = dist_init.make_global_mesh(n_seq=args.n_seq)
+        mesh = dist_init.make_global_mesh(
+            n_seq=args.n_seq, n_model=args.n_model
+        )
     else:
-        mesh = make_mesh(n_data=args.n_data, n_seq=args.n_seq)
+        mesh = make_mesh(
+            n_data=args.n_data, n_seq=args.n_seq, n_model=args.n_model
+        )
     return mesh, dist_init.process_count(), dist_init.process_index()
 
 
@@ -84,6 +88,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--n_seq", type=int, default=1,
                    help="sequence-parallel mesh axis size")
+    p.add_argument("--n_model", type=int, default=1,
+                   help="tensor-parallel (Megatron) mesh axis size: shards "
+                        "attention heads + MLP column/row-parallel")
     p.add_argument("--n_data", type=int, default=None,
                    help="data-parallel mesh axis size (default: all "
                         "remaining devices; batch anchors must divide it)")

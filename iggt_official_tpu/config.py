@@ -295,6 +295,10 @@ class RuntimeConfig:
     conf_threshold: float = 0.3
     clustering: ClusteringConfig = dataclasses.field(default_factory=ClusteringConfig)
     use_flash_attention: bool = True
+    # Pallas fused LayerNorm (ops/fused_ln.py) — bit-identical to the XLA
+    # LN (tests/test_heads.py::test_fused_ln_bit_identical), saves the
+    # fp32 convert_reduce bucket (~9% of the 8-view step)
+    fused_ln: bool = True
     # merge this many KV tokens out of global attention (FastVGGT-style,
     # ops/token_merge.py); 0 = exact attention.  Worth enabling at 32+
     # views where token redundancy is high.

@@ -49,9 +49,13 @@ class MaskletMixin:
         seq_dir = rgb_path
         for _ in range(1 + len(self.color_dir.split(os.sep))):
             seq_dir = os.path.dirname(seq_dir)
-        # frames of one sequence are contiguous and sorted
+        # frames of one sequence are contiguous and sorted; match the
+        # directory boundary (seq_dir + sep), not a raw string prefix —
+        # sibling dirs like ``scene_1-old`` sort before ``scene_1/`` and
+        # would otherwise be counted into this sequence
+        prefix = seq_dir + os.sep
         base = global_idx
-        while base > 0 and self.all_rgb_paths[base - 1].startswith(seq_dir):
+        while base > 0 and self.all_rgb_paths[base - 1].startswith(prefix):
             base -= 1
         return seq_dir, global_idx - base
 

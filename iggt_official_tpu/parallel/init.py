@@ -121,28 +121,36 @@ def process_count() -> int:
     return jax.process_count()
 
 
-def make_global_mesh(n_seq: int = 1, devices: Optional[Sequence] = None):
-    """Global ("data", "seq") mesh over all hosts' devices.
+def make_global_mesh(
+    n_seq: int = 1, n_model: int = 1, devices: Optional[Sequence] = None
+):
+    """Global ("data", "seq", "model") mesh over all hosts' devices — the
+    same axis set as the single-host :func:`~parallel.mesh.make_mesh`, so
+    specs written against one work on the other.
 
     Device order groups each host's devices contiguously along the data
-    axis, and the seq axis divides a single host's local devices, so the
-    seq collectives (all-gather KV / ppermute ring) stay on ICI and the
-    data-axis gradient psum is the only DCN traffic — the layout the
-    scaling playbook prescribes for attention sharding.
+    axis, and the seq x model axes divide a single host's local devices —
+    model innermost (highest-bandwidth neighbours), so the per-layer tp
+    collectives and the seq collectives (all-gather KV / ppermute ring)
+    stay on ICI and the data-axis gradient psum is the only DCN traffic —
+    the layout the scaling playbook prescribes for attention sharding.
     """
     import jax
 
-    from iggt_official_tpu.parallel.mesh import AXIS_DATA, AXIS_SEQ
+    from iggt_official_tpu.parallel.mesh import AXIS_DATA, AXIS_MODEL, AXIS_SEQ
 
     if devices is None:
         devices = jax.devices()  # global across processes, host-major
     devices = list(devices)
     n_local = len([d for d in devices if d.process_index == devices[0].process_index]) or len(devices)
-    assert n_local % n_seq == 0, (
-        f"seq axis ({n_seq}) must divide local device count ({n_local}) to stay on ICI"
+    assert n_local % (n_seq * n_model) == 0, (
+        f"seq x model axes ({n_seq} x {n_model}) must divide local device "
+        f"count ({n_local}) to stay on ICI"
     )
-    assert len(devices) % n_seq == 0
-    grid = np.asarray(devices).reshape(len(devices) // n_seq, n_seq)
+    assert len(devices) % (n_seq * n_model) == 0
+    grid = np.asarray(devices).reshape(
+        len(devices) // (n_seq * n_model), n_seq, n_model
+    )
     from jax.sharding import Mesh
 
-    return Mesh(grid, (AXIS_DATA, AXIS_SEQ))
+    return Mesh(grid, (AXIS_DATA, AXIS_SEQ, AXIS_MODEL))

@@ -79,13 +79,19 @@ def train(
             start_step = int(state.step)
             print_fn(f"resumed from {latest} at step {start_step}")
 
-    if fsdp and mesh is not None:
-        # shard params + optimizer moments over "data" (ZeRO-3 equivalent)
-        from iggt_official_tpu.parallel.mesh import fsdp_sharding
+    from iggt_official_tpu.parallel.mesh import AXIS_MODEL
 
-        state = jax.device_put(state, fsdp_sharding(mesh, state))
+    tp = mesh is not None and dict(mesh.shape).get(AXIS_MODEL, 1) > 1
+    if mesh is not None and (fsdp or tp):
+        # shard params + optimizer moments: "data" axis when fsdp (ZeRO-3
+        # equivalent), tp_spec over "model" when the mesh has a tp axis
+        from iggt_official_tpu.parallel.mesh import state_sharding
+
+        state = jax.device_put(
+            state, state_sharding(mesh, state, tp=tp, fsdp=fsdp)
+        )
         step_fn = make_train_step(
-            model, mesh=mesh, loss_weights=loss_weights, fsdp=True,
+            model, mesh=mesh, loss_weights=loss_weights, fsdp=fsdp,
             example_state=state,
         )
     else:

@@ -179,6 +179,15 @@ def make_train_step(
     per-device parameter+optimizer memory ~n_data-fold (ZeRO-3
     equivalent, no reference counterpart — the reference trains DDP-only,
     `utils/dist.py:19-80`).
+
+    When the mesh's "model" axis is >1, Megatron tensor parallelism is
+    additionally active (also requires ``example_state``): MLP fc1 runs
+    column-parallel and fc2/attn-proj row-parallel over "model" per
+    :func:`~iggt_official_tpu.parallel.mesh.tp_spec` (GSPMD inserts the
+    row-parallel psums), composing with the shard_map head split in the
+    attention wrappers and, when ``fsdp=True``, with the data-axis ZeRO-3
+    sharding (the 2D fsdp x tp layout of
+    :func:`~iggt_official_tpu.parallel.mesh.state_sharding`).
     """
     shard_fn = make_token_sharder(mesh) if mesh is not None else None
     if mesh is not None:
@@ -215,11 +224,16 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
 
-    if fsdp:
-        assert example_state is not None, "fsdp=True needs example_state"
-        from iggt_official_tpu.parallel.mesh import fsdp_sharding
+    from iggt_official_tpu.parallel.mesh import AXIS_MODEL
 
-        state_shardings = fsdp_sharding(mesh, example_state)
+    tp = dict(mesh.shape).get(AXIS_MODEL, 1) > 1
+    if fsdp or tp:
+        assert example_state is not None, (
+            "fsdp=True / model-axis>1 needs example_state"
+        )
+        from iggt_official_tpu.parallel.mesh import state_sharding
+
+        state_shardings = state_sharding(mesh, example_state, tp=tp, fsdp=fsdp)
         return jax.jit(
             step,
             in_shardings=(state_shardings, batch_sharding(mesh)),

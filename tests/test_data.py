@@ -281,6 +281,60 @@ def test_dl3dv_masklets(tmp_path):
         assert v["instance_ids"].max() == 1
 
 
+def test_masklet_sibling_dir_prefix(tmp_path):
+    """`scene_1-old` sorts before `scene_1/` yet shares its string prefix;
+    within-sequence frame numbers must not absorb the sibling's frames
+    (masklet contract: `iggt/datasets/dl3dv.py:241-274`)."""
+    import json
+
+    from iggt_official_tpu.data import rle
+    from iggt_official_tpu.data.datasets import Dl3dv
+
+    rng = np.random.default_rng(5)
+    W, H = 70, 56
+    root = tmp_path / "dl3dv"
+
+    def make_seq(name, n_frames, mask_rows):
+        seq = root / "train" / name
+        for sub in ("rgb", "depth", "cam"):
+            os.makedirs(seq / "dense" / sub)
+        masklets = []
+        for i in range(n_frames):
+            PIL.Image.fromarray(
+                rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+            ).save(seq / "dense" / "rgb" / f"frame_{i:04d}.png")
+            np.save(seq / "dense" / "depth" / f"frame_{i:04d}.npy",
+                    rng.uniform(0.5, 3, (H, W)).astype(np.float32))
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, 3] = [0.1 * i, 0, 0]
+            K = np.array([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]],
+                         np.float32)
+            np.savez(seq / "dense" / "cam" / f"frame_{i:04d}.npz",
+                     pose=pose, intrinsic=K)
+            m = np.zeros((H, W), np.uint8)
+            m[: mask_rows(i)] = 1  # per-frame-distinct mask extent
+            masklets.append(rle.encode(m > 0))
+        with open(seq / "auto_masks.json", "w") as f:
+            json.dump({"masklet": masklets}, f)
+
+    make_seq("scene_1-old", 3, lambda i: 2 * (i + 1))
+    make_seq("scene_1", 4, lambda i: 5 * (i + 1))
+
+    Dl3dv.min_frames = 2
+    ds = Dl3dv(str(root), dset="train", resolution=(W, H), seed=5)
+    assert len(ds) == 7
+    # global frames 3..6 belong to scene_1 (scene_1-old sorts first)
+    for g in range(3, 7):
+        seq_dir, frame_no = ds._seq_and_frame(g)
+        assert os.path.basename(seq_dir) == "scene_1"
+        assert frame_no == g - 3
+    views = ds[(3, 0, 2)]  # anchor = scene_1 frame 0
+    anchor = next(v for v in views if v["frame_index"] == 3)
+    # frame 0 of scene_1's masklet covers exactly 5 rows
+    assert anchor["instance_ids"][:5].min() == 1
+    assert anchor["instance_ids"][5:].max() == 0
+
+
 def test_entity_image_dataset(tmp_path):
     import json
 

@@ -208,3 +208,90 @@ def test_train_loop_fsdp(mesh, tmp_path):
     leaves = [x for x in jax.tree.leaves(state.params) if x.size >= 64]
     assert any(not x.sharding.is_fully_replicated for x in leaves)
     assert any("loss/total" in l for l in logs)
+
+
+def test_train_step_tp_matches_replicated(cpu_devices):
+    """Tensor parallelism over "model" (tp_spec column/row-parallel MLP +
+    shard_map head split) takes the same step as the replicated DDP
+    equivalent, and actually shards the MLP kernels over "model"."""
+    from iggt_official_tpu.parallel.mesh import AXIS_MODEL, state_sharding
+
+    tp_mesh = make_mesh(n_data=2, n_seq=2, n_model=2, devices=cpu_devices[:8])
+    model, cfg = _tiny_model(trunk_dtype="float32")
+    rng = np.random.default_rng(11)
+    B, S, H, W = 2, 4, 28, 28
+    batch = {
+        "images": rng.uniform(0, 1, (B, S, H, W, 3)).astype(np.float32),
+        "pose_enc": rng.normal(0, 1, (B, S, 9)).astype(np.float32),
+        "depth": rng.uniform(0.5, 2, (B, S, H, W, 1)).astype(np.float32),
+        "world_points": rng.normal(0, 1, (B, S, H, W, 3)).astype(np.float32),
+        "valid_mask": np.ones((B, S, H, W), np.float32),
+        "instance_ids": rng.integers(0, 4, (B, S, H, W)).astype(np.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["images"]))[
+        "params"
+    ]
+    # host copies: both train steps donate their state, so each TrainState
+    # needs fresh device buffers (jnp.asarray of a live jax array is a
+    # no-op and would alias the buffers the first step deletes)
+    params = jax.tree.map(np.asarray, params)
+    tx = make_optimizer(params, layer_decay=0.9, num_layers=cfg.aggregator.depth)
+
+    # reference: replicated step on a 2-axis-equivalent mesh (model=1)
+    ref_mesh = make_mesh(n_data=2, n_seq=4, devices=cpu_devices[:8])
+    state_ref = TrainState.create(jax.tree.map(jnp.asarray, params), tx)
+    ref_step = make_train_step(model, mesh=ref_mesh)
+    sharded_ref = {
+        k: jax.device_put(v, batch_sharding(ref_mesh)) for k, v in batch.items()
+    }
+    new_ref, _ = ref_step(state_ref, sharded_ref)
+
+    # tp step: make_train_step wires state_sharding(tp=True) itself
+    state_tp = TrainState.create(jax.tree.map(jnp.asarray, params), tx)
+    shardings = state_sharding(tp_mesh, state_tp, tp=True, fsdp=False)
+    state_tp = jax.device_put(state_tp, shardings)
+    # the fc1 kernels must be sharded over the model axis
+    tp_sharded = [
+        s.spec
+        for s in jax.tree.leaves(shardings)
+        if any(AXIS_MODEL in (ax if isinstance(ax, tuple) else (ax,))
+               for ax in s.spec if ax is not None)
+    ]
+    assert tp_sharded, "state_sharding(tp=True) sharded nothing over 'model'"
+
+    tp_step = make_train_step(model, mesh=tp_mesh, example_state=state_tp)
+    sharded_tp = {
+        k: jax.device_put(v, batch_sharding(tp_mesh)) for k, v in batch.items()
+    }
+    new_tp, metrics = tp_step(state_tp, sharded_tp)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-3
+        ),
+        new_tp.params,
+        new_ref.params,
+    )
+
+
+def test_head_indivisible_falls_back_local(cpu_devices):
+    """A head count not divisible by the model axis degrades to local
+    (replicated) heads instead of dying in shard_map's divisibility check."""
+    from iggt_official_tpu.parallel.attention import make_frame_attention
+
+    tp_mesh = make_mesh(n_data=2, n_seq=2, n_model=2, devices=cpu_devices[:8])
+    rng = np.random.default_rng(13)
+    B, N, H, D = 4, 16, 3, 8  # 3 heads, n_model=2: indivisible
+    q = jnp.asarray(rng.normal(0, 1, (B, N, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 1, (B, N, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 1, (B, N, H, D)).astype(np.float32))
+
+    from iggt_official_tpu.ops.flash_attention import attention
+
+    fn = make_frame_attention(tp_mesh)
+    out = jax.jit(fn)(q, k, v)
+    ref = attention(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
