@@ -129,12 +129,26 @@ class IGGTProcessor:
         return {"params": load_checkpoint(model_path, target=params)}
 
     # ------------------------------------------------------------------
-    def process_scene(self, target_dir: str, save_dir: str) -> Dict[str, Any]:
+    def process_scene(
+        self,
+        target_dir: str,
+        save_dir: str,
+        preds: Optional[Dict[str, np.ndarray]] = None,
+        gt_data: Optional[Dict[str, Any]] = None,
+    ) -> Dict[str, Any]:
+        """Full scene pipeline.  ``preds``/``gt_data`` may be passed in
+        pre-computed — app/batch_eval.py prefetches the next scene's GT
+        load + device forward on a worker thread while the current scene
+        post-processes and exports (the forward and the device clustering
+        interleave on the accelerator queue; the host-side image loading /
+        GLB export / JSON overlap fully)."""
         t0 = time.time()
         os.makedirs(save_dir, exist_ok=True)
 
-        gt_data = self._load_gt_data(target_dir)
-        preds = self._run_inference(target_dir)
+        if gt_data is None:
+            gt_data = self._load_gt_data(target_dir)
+        if preds is None:
+            preds = self._run_inference(target_dir)
         preds = self._post_process(preds)
 
         results: Dict[str, Any] = {"predictions": preds}
@@ -213,7 +227,7 @@ class IGGTProcessor:
             )
             cc = self.runtime.clustering
             masks, colored = cluster_features_to_masks_mv(
-                np.asarray(smoothed),
+                smoothed,  # device array: the cluster pipeline stays on-chip
                 apply_colormap=True,
                 eps=cc.eps,
                 min_samples=cc.min_samples,

@@ -777,16 +777,54 @@ int64_t boruvka_forest(std::vector<int64_t>& ea, std::vector<int64_t>& eb,
     return x;
   };
 
+  // Threaded rounds (exact-mode graphs reach ~170M edges at 1.69M px):
+  // the min-edge scan runs over edge chunks with per-thread best tables
+  // merged serially, and the compaction relabels against a read-only
+  // root[] snapshot (union-find is only mutated between the parallel
+  // phases, so no thread ever races find()'s path halving).
+  const int64_t m0 = static_cast<int64_t>(ea.size());
+  const int64_t nt =
+      std::min<int64_t>(native_threads(), std::max<int64_t>(m0 / 262144, 1));
+
+  std::vector<std::vector<int64_t>> best_t(nt), touched_t(nt);
+  for (int64_t t = 0; t < nt; ++t) best_t[t].assign(K, -1);
   std::vector<int64_t> best(K, -1);
   std::vector<int64_t> touched;
   touched.reserve(K);
+  std::vector<int64_t> root(K);
+  std::vector<int64_t> chunk_lo(nt + 1), chunk_cnt(nt);
+
   int64_t n_out = 0;
-  int64_t m = static_cast<int64_t>(ea.size());
+  int64_t m = m0;
   while (m > 0) {
-    // min outgoing edge per component (lexicographic (w, original index))
+    // min outgoing edge per component (lexicographic (w, original index));
+    // endpoints are previous-round roots, so no find() here
+    const int64_t step = (m + nt - 1) / nt;
+    for (int64_t t = 0; t <= nt; ++t)
+      chunk_lo[t] = std::min(m, t * step);
+    parallel_chunks(nt, nt, [&](int64_t t_lo, int64_t t_hi) {
+      for (int64_t t = t_lo; t < t_hi; ++t) {
+        auto& bt = best_t[t];
+        auto& tt = touched_t[t];
+        tt.clear();
+        for (int64_t i = chunk_lo[t]; i < chunk_lo[t + 1]; ++i) {
+          for (int64_t r : {ea[i], eb[i]}) {
+            int64_t& b = bt[r];
+            if (b < 0) {
+              b = i;
+              tt.push_back(r);
+            } else if (ew[i] < ew[b] || (ew[i] == ew[b] && eid[i] < eid[b])) {
+              b = i;
+            }
+          }
+        }
+      }
+    });
     touched.clear();
-    for (int64_t i = 0; i < m; ++i) {
-      for (int64_t r : {ea[i], eb[i]}) {
+    for (int64_t t = 0; t < nt; ++t) {
+      for (int64_t r : touched_t[t]) {
+        int64_t i = best_t[t][r];
+        best_t[t][r] = -1;  // reset for the next round
         int64_t& b = best[r];
         if (b < 0) {
           b = i;
@@ -807,16 +845,35 @@ int64_t boruvka_forest(std::vector<int64_t>& ea, std::vector<int64_t>& eb,
       ++n_out;
     }
     for (int64_t r : touched) best[r] = -1;
-    // compact to inter-component edges, endpoints relabelled to roots
-    int64_t nm = 0;
-    for (int64_t i = 0; i < m; ++i) {
-      int64_t ra = find(ea[i]), rb = find(eb[i]);
-      if (ra == rb) continue;
-      ea[nm] = ra;
-      eb[nm] = rb;
-      ew[nm] = ew[i];
-      eid[nm] = eid[i];
-      ++nm;
+    // compact to inter-component edges, endpoints relabelled to roots:
+    // snapshot roots serially (O(K), trivial next to the edge pass), then
+    // each thread compacts its own chunk in place; coalesce serially
+    for (int64_t i = 0; i < K; ++i) root[i] = find(i);
+    parallel_chunks(nt, nt, [&](int64_t t_lo, int64_t t_hi) {
+      for (int64_t t = t_lo; t < t_hi; ++t) {
+        int64_t w = chunk_lo[t];
+        for (int64_t i = chunk_lo[t]; i < chunk_lo[t + 1]; ++i) {
+          int64_t ra = root[ea[i]], rb = root[eb[i]];
+          if (ra == rb) continue;
+          ea[w] = ra;
+          eb[w] = rb;
+          ew[w] = ew[i];
+          eid[w] = eid[i];
+          ++w;
+        }
+        chunk_cnt[t] = w - chunk_lo[t];
+      }
+    });
+    int64_t nm = chunk_cnt[0];
+    for (int64_t t = 1; t < nt; ++t) {
+      const int64_t lo = chunk_lo[t], cnt = chunk_cnt[t];
+      if (nm != lo && cnt > 0) {
+        std::memmove(&ea[nm], &ea[lo], cnt * sizeof(int64_t));
+        std::memmove(&eb[nm], &eb[lo], cnt * sizeof(int64_t));
+        std::memmove(&ew[nm], &ew[lo], cnt * sizeof(double));
+        std::memmove(&eid[nm], &eid[lo], cnt * sizeof(int64_t));
+      }
+      nm += cnt;
     }
     m = nm;
   }
@@ -932,11 +989,14 @@ EXPORT int64_t mst_knn(
   const int64_t n = K * k;
   std::vector<int64_t> ea, eb, eid;
   std::vector<double> ew;
-  ea.reserve(n);
-  eb.reserve(n);
-  eid.reserve(n);
-  ew.reserve(n);
-  for (int64_t i = 0; i < K; ++i) {
+  // threaded edge construction: rows are independent; per-thread chunks
+  // write into disjoint slices after a counting pass (exact-mode graphs
+  // reach ~170M candidate edges at 1.69M px)
+  const int64_t nt =
+      std::min<int64_t>(native_threads(), std::max<int64_t>(K / 65536, 1));
+  const int64_t step = (K + nt - 1) / nt;
+  std::vector<int64_t> cnt(nt, 0);
+  auto row_edges = [&](int64_t i, auto&& emit) {
     const double ci = core[i];
     for (int64_t j = 0; j < k; ++j) {
       const int64_t dst = knn_idx[i * k + j];
@@ -946,12 +1006,38 @@ EXPORT int64_t mst_knn(
       const double cd = core[dst];
       if (w < cd) w = cd;
       if (!std::isfinite(w)) continue;
-      ea.push_back(i);
-      eb.push_back(dst);
-      ew.push_back(w);
-      eid.push_back(i * k + j);
+      emit(i, dst, w, i * k + j);
     }
-  }
+  };
+  parallel_chunks(nt, nt, [&](int64_t t_lo, int64_t t_hi) {
+    for (int64_t t = t_lo; t < t_hi; ++t) {
+      int64_t c = 0;
+      const int64_t hi = std::min(K, (t + 1) * step);
+      for (int64_t i = t * step; i < hi; ++i)
+        row_edges(i, [&](int64_t, int64_t, double, int64_t) { ++c; });
+      cnt[t] = c;
+    }
+  });
+  std::vector<int64_t> off(nt + 1, 0);
+  for (int64_t t = 0; t < nt; ++t) off[t + 1] = off[t] + cnt[t];
+  ea.resize(off[nt]);
+  eb.resize(off[nt]);
+  ew.resize(off[nt]);
+  eid.resize(off[nt]);
+  parallel_chunks(nt, nt, [&](int64_t t_lo, int64_t t_hi) {
+    for (int64_t t = t_lo; t < t_hi; ++t) {
+      int64_t w_at = off[t];
+      const int64_t hi = std::min(K, (t + 1) * step);
+      for (int64_t i = t * step; i < hi; ++i)
+        row_edges(i, [&](int64_t a, int64_t b, double w, int64_t e) {
+          ea[w_at] = a;
+          eb[w_at] = b;
+          ew[w_at] = w;
+          eid[w_at] = e;
+          ++w_at;
+        });
+    }
+  });
   return boruvka_forest(
       ea, eb, ew, eid, K,
       [&](int64_t e, int64_t* a, int64_t* b) {

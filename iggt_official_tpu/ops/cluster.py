@@ -282,6 +282,47 @@ def _weighted_single_linkage(
     return Z
 
 
+def _labels_from_edges(
+    edge_a: np.ndarray,
+    edge_b: np.ndarray,
+    edge_d: np.ndarray,
+    weights: np.ndarray,
+    core: np.ndarray,
+    eps: float,
+    min_cluster_size: int,
+    allow_single_cluster: bool,
+) -> np.ndarray:
+    """MST edges -> HDBSCAN labels through the native C++ port of
+    `_labels_from_mst` when built (dendrogram + condensed tree +
+    EOM/epsilon selection); the Python path is the tested spec and the
+    fallback — tests assert they agree on the same MST.
+
+    Edges are canonicalized to (d, min(a,b), max(a,b)) order first:
+    equal-weight MST edges (common — mutual-reachability ties through
+    shared core distances) would otherwise condense in backend-dependent
+    order, so canonicalizing makes the labels a function of the edge SET
+    alone — the host and device MST builders emit the same set in
+    different orders (tests/test_cluster_device.py)."""
+    lo = np.minimum(edge_a, edge_b)
+    hi = np.maximum(edge_a, edge_b)
+    order = np.lexsort((hi, lo, edge_d))
+    edge_a = np.asarray(edge_a)[order]
+    edge_b = np.asarray(edge_b)[order]
+    edge_d = np.asarray(edge_d)[order]
+
+    from iggt_official_tpu import native
+
+    if native.available():
+        return native.hdbscan_mst_labels(
+            edge_a, edge_b, edge_d, weights, core,
+            float(eps), float(min_cluster_size), allow_single_cluster,
+        )
+    return _labels_from_mst(
+        edge_a, edge_b, edge_d, weights, core,
+        eps, min_cluster_size, allow_single_cluster,
+    )
+
+
 def weighted_hdbscan(
     points: np.ndarray,
     weights: np.ndarray,
@@ -289,6 +330,7 @@ def weighted_hdbscan(
     min_samples: int,
     min_cluster_size: int,
     allow_single_cluster: bool = False,
+    approx_ok: bool = False,
 ) -> np.ndarray:
     """HDBSCAN(cluster_selection_epsilon=eps) over weighted points.
 
@@ -296,27 +338,48 @@ def weighted_hdbscan(
     Malzer-Baum epsilon rule — with every count treated as point
     multiplicity, replacing cuml/hdbscan (`iggt/utils/misc.py:124-129`).
     Returns labels (K,), -1 = noise.
+
+    ``approx_ok=True`` allows the accelerator fast path (unit weights
+    only): kNN via `approx_min_k` blocks and the mutual-reachability MST
+    on-device (ops/cluster_device.py), so only the MST edges cross the
+    device->host boundary; the condensed-tree labelling is shared with
+    the host path.  A missed kNN candidate can only inflate its
+    reachability weight — the same failure direction as the kNN-graph
+    truncation both paths already accept; end-to-end fidelity vs the
+    exact host path is measured in PERF.md.
     """
     K = points.shape[0]
     if K == 1:
         return np.zeros(1, np.int64) if weights[0] >= min_cluster_size else np.full(1, -1, np.int64)
+
+    if (
+        approx_ok
+        and K >= 32_768
+        and min_samples + 1 <= K
+        and bool(np.all(weights == 1))
+        and _accelerator_available()
+    ):
+        from iggt_official_tpu.ops.cluster_device import mreach_mst_device
+        from iggt_official_tpu.ops.knn import brute_knn
+
+        k = min(K, max(64, min_samples + 1))
+        d_dev, i_dev = brute_knn(
+            points, points, k, approx=True, out_device=True
+        )
+        edge_a, edge_b, edge_d, core = mreach_mst_device(
+            d_dev, i_dev, min_samples
+        )
+        return _labels_from_edges(
+            edge_a, edge_b, edge_d, weights, core,
+            eps, min_cluster_size, allow_single_cluster,
+        )
+
+    points = np.asarray(points)
     core, knn_dist, knn_idx = _weighted_core_distances(
         points, weights, min_samples
     )
     edge_a, edge_b, edge_d = _mreach_mst(core, knn_dist, knn_idx)
-
-    from iggt_official_tpu import native
-
-    if native.available():
-        # C++ port of _labels_from_mst (dendrogram + condensed tree +
-        # EOM/epsilon selection); the Python path is the tested spec and
-        # the fallback — tests assert they agree on the same MST
-        return native.hdbscan_mst_labels(
-            edge_a, edge_b, edge_d, weights, core,
-            float(eps), float(min_cluster_size), allow_single_cluster,
-        )
-
-    return _labels_from_mst(
+    return _labels_from_edges(
         edge_a, edge_b, edge_d, weights, core,
         eps, min_cluster_size, allow_single_cluster,
     )
@@ -516,33 +579,90 @@ def _labels_from_mst(
     return labels
 
 
-def cluster_features_to_masks_mv(
-    feature_map: np.ndarray,
-    apply_colormap: bool = False,
-    eps: float = 0.06,
-    min_samples: int = 100,
-    min_cluster_size: int = 500,
-    exact: bool = False,
-    **_ignored,
-) -> Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]:
-    """Joint multi-view clustering (`misc.py:81-170` semantics).
+def _cluster_mv_device(
+    flat_dev,
+    n: int,
+    h: int,
+    w: int,
+    eps: float,
+    min_samples: int,
+    min_cluster_size: int,
+    budget: int,
+) -> np.ndarray:
+    """Device-resident multi-view clustering fast path.
 
-    ``exact=True`` disables the subsampling workload bound and runs the
-    weighted HDBSCAN over every pixel — the reference algorithm at full
-    density (verified to match sklearn on identical inputs); use for
-    parity-critical evaluation, minutes at demo scale."""
-    feature_map = np.asarray(feature_map)
-    n, h, w, c = feature_map.shape
-    flat = feature_map.reshape(-1, c).astype(np.float32)
+    The feature map never round-trips to the host: subsample gather, kNN
+    (approx_min_k blocks), mutual-reachability MST (rank Boruvka) and the
+    1-NN noise/backfill assignments (Pallas nn1 kernel) all run on the
+    accelerator; only the MST edges, the (K,) labels and the final (M,)
+    assignment indices cross the device boundary.  Semantics mirror the
+    host path below line for line."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from iggt_official_tpu.ops.nn1_pallas import nn1_pallas as _nn1_kernel
+
+    nn1_pallas = functools.partial(
+        _nn1_kernel, interpret=jax.default_backend() == "cpu"
+    )
+
+    M = flat_dev.shape[0]
+    if M > budget:
+        rng = np.random.default_rng(0)
+        sample_idx = rng.choice(M, budget, replace=False)
+        rate = budget / M
+        pts_dev = flat_dev[jnp.asarray(sample_idx)]
+        ms = max(2, int(round(min_samples * rate)))
+        mcs = max(2, int(round(min_cluster_size * rate)))
+    else:
+        sample_idx = None
+        pts_dev = flat_dev
+        ms, mcs = min_samples, min_cluster_size
+    weights = np.ones(pts_dev.shape[0], np.float64)
+
+    labels = weighted_hdbscan(
+        pts_dev, weights, eps, ms, mcs, approx_ok=True
+    )
+
+    # noise -> 1-NN clustered pixel (`misc.py:135-148`)
+    noise = labels == -1
+    if noise.all():
+        labels[:] = 0
+    elif noise.any():
+        noise_d = jnp.asarray(np.flatnonzero(noise))
+        clustered_d = jnp.asarray(np.flatnonzero(~noise))
+        j = np.asarray(
+            nn1_pallas(pts_dev[noise_d], pts_dev[clustered_d])
+        )
+        labels[noise] = labels[~noise][j]
+
+    if sample_idx is None:
+        return labels.reshape(n, h, w)
+    all_labels = np.empty(M, np.int64)
+    all_labels[sample_idx] = labels
+    rest = np.ones(M, bool)
+    rest[sample_idx] = False
+    j_all = np.asarray(nn1_pallas(flat_dev, pts_dev))
+    all_labels[rest] = labels[j_all[rest]]
+    return all_labels.reshape(n, h, w)
+
+
+def _cluster_mv_host(
+    flat: np.ndarray,
+    n: int,
+    h: int,
+    w: int,
+    eps: float,
+    min_samples: int,
+    min_cluster_size: int,
+    budget: int,
+    exact: bool,
+) -> np.ndarray:
+    """Host multi-view clustering (the spec path `_cluster_mv_device`
+    mirrors)."""
     M = flat.shape[0]
-
-    # Workload bound: grid quantization compresses poorly in 8-D, so large
-    # inputs are handled by HDBSCAN-on-a-uniform-subsample with the density
-    # parameters scaled by the sampling rate (uniform thinning at rate r
-    # scales every neighbourhood count by r, preserving the density
-    # hierarchy in expectation); non-sampled pixels are 1-NN-assigned —
-    # the same mechanism the reference already uses for noise pixels.
-    budget = 150_000
     if M > budget and not exact:
         rng = np.random.default_rng(0)
         sample_idx = rng.choice(M, budget, replace=False)
@@ -556,7 +676,9 @@ def cluster_features_to_masks_mv(
         ms, mcs = min_samples, min_cluster_size
     weights = np.ones(pts.shape[0], np.float64)
 
-    labels = weighted_hdbscan(pts, weights, eps, ms, mcs)
+    labels = weighted_hdbscan(
+        pts, weights, eps, ms, mcs, approx_ok=not exact
+    )
 
     # noise -> 1-NN clustered pixel (`misc.py:135-148`)
     noise = labels == -1
@@ -566,14 +688,63 @@ def cluster_features_to_masks_mv(
         labels[noise] = labels[~noise][_nn1(pts[~noise], pts[noise])]
 
     if sample_idx is None:
-        masks = labels.reshape(n, h, w)
+        return labels.reshape(n, h, w)
+    all_labels = np.empty(M, np.int64)
+    all_labels[sample_idx] = labels
+    rest = np.ones(M, bool)
+    rest[sample_idx] = False
+    all_labels[rest] = labels[_nn1(pts, flat[rest])]
+    return all_labels.reshape(n, h, w)
+
+
+def cluster_features_to_masks_mv(
+    feature_map,
+    apply_colormap: bool = False,
+    eps: float = 0.06,
+    min_samples: int = 100,
+    min_cluster_size: int = 500,
+    exact: bool = False,
+    **_ignored,
+) -> Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]:
+    """Joint multi-view clustering (`misc.py:81-170` semantics).
+
+    ``feature_map`` may be numpy or a device array — on an accelerator
+    the whole pipeline runs device-resident (`_cluster_mv_device`).
+    ``exact=True`` disables the subsampling workload bound and runs the
+    weighted HDBSCAN over every pixel — the reference algorithm at full
+    density (verified to match sklearn on identical inputs); use for
+    parity-critical evaluation, minutes at demo scale."""
+    n, h, w, c = feature_map.shape
+    M = n * h * w
+
+    # Workload bound: grid quantization compresses poorly in 8-D, so large
+    # inputs are handled by HDBSCAN-on-a-uniform-subsample with the density
+    # parameters scaled by the sampling rate (uniform thinning at rate r
+    # scales every neighbourhood count by r, preserving the density
+    # hierarchy in expectation); non-sampled pixels are 1-NN-assigned —
+    # the same mechanism the reference already uses for noise pixels.
+    budget = 150_000
+    use_device = False
+    if not exact and M >= 32_768 and _accelerator_available():
+        from iggt_official_tpu import native
+
+        use_device = native.available()
+
+    if use_device:
+        import jax.numpy as jnp
+
+        flat_dev = jnp.asarray(feature_map).reshape(-1, c).astype(
+            jnp.float32
+        )
+        masks = _cluster_mv_device(
+            flat_dev, n, h, w, eps, min_samples, min_cluster_size, budget
+        )
     else:
-        all_labels = np.empty(M, np.int64)
-        all_labels[sample_idx] = labels
-        rest = np.ones(M, bool)
-        rest[sample_idx] = False
-        all_labels[rest] = labels[_nn1(pts, flat[rest])]
-        masks = all_labels.reshape(n, h, w)
+        flat = np.asarray(feature_map).reshape(-1, c).astype(np.float32)
+        masks = _cluster_mv_host(
+            flat, n, h, w, eps, min_samples, min_cluster_size, budget,
+            exact,
+        )
     if not apply_colormap:
         return masks
     return masks, colorize_masks(masks)
@@ -624,11 +795,13 @@ def colorize_masks(masks: np.ndarray) -> np.ndarray:
     unique = unique[unique != -1]
     n_colors = len(unique)
     cmap = colormaps.get_cmap("jet")
-    lut: Dict[int, np.ndarray] = {-1: np.zeros(3)}
-    for j, lbl in enumerate(unique):
-        t = j / (n_colors - 1) if n_colors > 1 else 0.5
-        lut[int(lbl)] = np.array(cmap(t)[:3])
-    out = np.zeros(masks.shape + (3,), np.uint8)
-    for lbl, color in lut.items():
-        out[masks == lbl] = (color * 255).astype(np.uint8)
-    return out
+    ts = (
+        np.arange(n_colors) / (n_colors - 1)
+        if n_colors > 1
+        else np.full(max(n_colors, 1), 0.5)
+    )
+    colors = (np.asarray([cmap(t)[:3] for t in ts]) * 255).astype(np.uint8)
+    # dense LUT over the label range; -1 (noise) renders black
+    lut = np.zeros((int(unique.max()) + 2 if n_colors else 2, 3), np.uint8)
+    lut[unique + 1] = colors
+    return lut[masks + 1]

@@ -12,12 +12,22 @@ for training, SAM2-Hiera-L mask grounding for the benchmark configs, and
 `PositionEmbeddingSine` shared with the SamProjector.
 """
 
-from iggt_official_tpu.sam2.config import SAM2Config, sam2_hiera_b_plus, sam2_hiera_l
+from iggt_official_tpu.sam2.config import (
+    SAM2_PRESETS,
+    SAM2Config,
+    sam2_hiera_b_plus,
+    sam2_hiera_l,
+    sam2_hiera_s,
+    sam2_hiera_t,
+)
 from iggt_official_tpu.sam2.common import PositionEmbeddingSine
 
 __all__ = [
     "PositionEmbeddingSine",
+    "SAM2_PRESETS",
     "SAM2Config",
     "sam2_hiera_b_plus",
     "sam2_hiera_l",
+    "sam2_hiera_s",
+    "sam2_hiera_t",
 ]

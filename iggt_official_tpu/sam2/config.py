@@ -94,20 +94,91 @@ class SAM2Config:
         )
 
 
-def sam2_hiera_l() -> SAM2Config:
-    return SAM2Config()
+def _versioned(cfg: SAM2Config, version: str) -> SAM2Config:
+    """Apply the v2 / v2.1 split.
+
+    The reference ships every hiera size in two generations whose only
+    model-structure differences are the object-pointer temporal encoding
+    and the spatial no-object embedding (diff of `sam2/configs/sam2/*.yaml`
+    vs `sam2/configs/sam2.1/*.yaml`): v2 has ``add_tpos_enc_to_obj_ptrs:
+    false`` (and therefore no tpos projection / signed tpos) and no
+    ``no_obj_embed_spatial`` parameter."""
+    if version == "2.1":
+        return cfg
+    if version == "2":
+        return dataclasses.replace(
+            cfg,
+            no_obj_embed_spatial=False,
+            add_tpos_enc_to_obj_ptrs=False,
+            proj_tpos_enc_in_obj_ptrs=False,
+            use_signed_tpos_enc_to_obj_ptrs=False,
+        )
+    raise ValueError(f"unknown SAM2 version {version!r} (use '2' or '2.1')")
 
 
-def sam2_hiera_b_plus() -> SAM2Config:
+def sam2_hiera_l(version: str = "2.1") -> SAM2Config:
+    """`sam2.1_hiera_l.yaml` (default) / `sam2_hiera_l.yaml` sizing."""
+    return _versioned(SAM2Config(), version)
+
+
+def sam2_hiera_b_plus(version: str = "2.1") -> SAM2Config:
     """`sam2.1_hiera_b+.yaml` sizing."""
-    return dataclasses.replace(
-        SAM2Config(),
-        hiera=HieraConfig(
-            embed_dim=112,
-            num_heads=2,
-            stages=(2, 3, 16, 3),
-            global_att_blocks=(12, 16, 20),
-            window_pos_embed_bkg_spatial_size=(14, 14),
-            window_spec=(8, 4, 14, 7),
+    return _versioned(
+        dataclasses.replace(
+            SAM2Config(),
+            hiera=HieraConfig(
+                embed_dim=112,
+                num_heads=2,
+                stages=(2, 3, 16, 3),
+                global_att_blocks=(12, 16, 20),
+                window_pos_embed_bkg_spatial_size=(14, 14),
+                window_spec=(8, 4, 14, 7),
+            ),
         ),
+        version,
     )
+
+
+def sam2_hiera_s(version: str = "2.1") -> SAM2Config:
+    """`sam2.1_hiera_s.yaml` sizing (hiera defaults except stages /
+    global-attention block ids / background pos-embed tile)."""
+    return _versioned(
+        dataclasses.replace(
+            SAM2Config(),
+            hiera=HieraConfig(
+                embed_dim=96,
+                num_heads=1,
+                stages=(1, 2, 11, 2),
+                global_att_blocks=(7, 10, 13),
+                window_pos_embed_bkg_spatial_size=(7, 7),
+                window_spec=(8, 4, 14, 7),
+            ),
+        ),
+        version,
+    )
+
+
+def sam2_hiera_t(version: str = "2.1") -> SAM2Config:
+    """`sam2.1_hiera_t.yaml` sizing."""
+    return _versioned(
+        dataclasses.replace(
+            SAM2Config(),
+            hiera=HieraConfig(
+                embed_dim=96,
+                num_heads=1,
+                stages=(1, 2, 7, 2),
+                global_att_blocks=(5, 7, 9),
+                window_pos_embed_bkg_spatial_size=(7, 7),
+                window_spec=(8, 4, 14, 7),
+            ),
+        ),
+        version,
+    )
+
+
+SAM2_PRESETS = {
+    "hiera_t": sam2_hiera_t,
+    "hiera_s": sam2_hiera_s,
+    "hiera_b+": sam2_hiera_b_plus,
+    "hiera_l": sam2_hiera_l,
+}

@@ -222,3 +222,44 @@ def test_train_cli_smoke(tmp_path, monkeypatch):
         "--log_every", "1",
     ])
     assert any(c.startswith("step_") for c in os.listdir(ckpt))
+
+
+def test_batch_eval_pipelined(tmp_path, monkeypatch):
+    """app/batch_eval.py over two scenes with the prefetch pipeline: the
+    worker thread's forward for scene i+1 overlaps scene i's post-process,
+    and the summary aggregates both evaluations."""
+    import json
+    import sys
+
+    from iggt_official_tpu.app import batch_eval
+
+    root = tmp_path / "scenes"
+    os.makedirs(root)
+    for name in ("sceneA", "sceneB"):
+        _make_scene(root / "x", S=2, W=56, H=42)  # _make_scene appends /scene
+        os.rename(root / "x" / "scene", root / name)
+        os.rmdir(root / "x")
+
+    cfg = ModelConfig().scaled(
+        embed_dim=32, depth=2, num_heads=2, img_size=56, patch_embed="conv"
+    )
+    monkeypatch.setattr(
+        "iggt_official_tpu.app.demo.IGGTProcessor.__init__.__defaults__",
+        (None, cfg, None),
+        raising=False,
+    )
+    save = tmp_path / "out"
+    argv = [
+        "batch_eval", "--scenes_root", str(root), "--save_dir", str(save),
+        "--preset", "small", "--image_size", "56", "42",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    batch_eval.main()
+
+    with open(save / "summary.json") as f:
+        summary = json.load(f)
+    assert summary["num_scenes"] == 2
+    assert summary["num_views"] == 4
+    assert np.isfinite(summary["metrics"]["depth"]["absrel"])
+    for name in ("sceneA", "sceneB"):
+        assert os.path.exists(save / name / "predictions.npz")

@@ -1,0 +1,103 @@
+"""Device clustering fast path vs the host spec (CPU backend).
+
+The accelerator path (`ops/cluster_device.py` + `ops/cluster.py::
+_cluster_mv_device` + `ops/nn1_pallas.py`) must reproduce the host
+pipeline: the rank-Boruvka MST is pinned edge-set-equal to the native
+Boruvka on identical kNN inputs, the Pallas 1-NN kernel is pinned exact
+vs brute force (including the smallest-index tie-break), and the whole
+device multi-view pipeline is compared end-to-end to `_cluster_mv_host`.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from iggt_official_tpu import native
+from iggt_official_tpu.ops import cluster as cl
+from iggt_official_tpu.ops.cluster_device import mreach_mst_device
+from iggt_official_tpu.ops.knn import brute_knn
+from iggt_official_tpu.ops.nn1_pallas import nn1_pallas
+
+
+def _blobs(rng, n, d=8, k_inst=6, sigma=0.05):
+    centers = rng.normal(0, 1, (k_inst, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = rng.integers(0, k_inst, n)
+    return (centers[lab] + rng.normal(0, sigma, (n, d))).astype(np.float32)
+
+
+def test_nn1_pallas_exact_with_ties():
+    rng = np.random.default_rng(0)
+    ref = _blobs(rng, 700)
+    # duplicate rows force distance ties; the kernel must pick the
+    # smallest reference index like the host KD-tree
+    ref[350:380] = ref[0:30]
+    qry = _blobs(rng, 900)
+    qry[:50] = ref[10:60]  # exact hits
+
+    out = np.asarray(nn1_pallas(jnp.asarray(qry), jnp.asarray(ref),
+                                interpret=True))
+    d2 = ((qry[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+    best = d2.min(axis=1, keepdims=True)
+    gt = np.where(d2 == best, np.arange(ref.shape[0])[None, :], 1 << 30).min(1)
+    np.testing.assert_array_equal(out, gt)
+
+
+@pytest.mark.skipif(not native.available(), reason="native kernels required")
+def test_device_mst_matches_native_on_identical_knn():
+    rng = np.random.default_rng(1)
+    pts = _blobs(rng, 4096)
+    ms = 5
+    d, i = brute_knn(pts, pts, 32)  # exact, host copies
+    core = d[:, ms - 1].astype(np.float64)
+
+    na, nb, nd = native.mst_knn(d.astype(np.float64), i, core)
+    da, db, dd, dcore = mreach_mst_device(jnp.asarray(d), jnp.asarray(i), ms)
+
+    # 6 well-separated blobs at k=32 -> a spanning FOREST (one tree per
+    # connected component); both backends must agree on its size
+    assert len(na) == len(da)
+    assert len(na) >= pts.shape[0] - 10
+    sym_n = {frozenset((int(a), int(b))) for a, b in zip(na, nb)}
+    sym_d = {frozenset((int(a), int(b))) for a, b in zip(da, db)}
+    assert sym_n == sym_d
+    np.testing.assert_allclose(np.sort(nd), np.sort(dd), rtol=1e-6)
+    np.testing.assert_allclose(dcore, core, rtol=1e-6)
+
+    w = np.ones(pts.shape[0], np.float64)
+    lab_n = cl._labels_from_edges(na, nb, nd, w, core, 0.06, 40, False)
+    lab_d = cl._labels_from_edges(da, db, dd, w, dcore, 0.06, 40, False)
+    np.testing.assert_array_equal(lab_n, lab_d)
+
+
+@pytest.mark.skipif(not native.available(), reason="native kernels required")
+def test_cluster_mv_device_matches_host():
+    """Whole device pipeline (subsample -> kNN -> MST -> labels -> noise +
+    backfill 1-NN) vs the host spec on the same inputs."""
+    rng = np.random.default_rng(2)
+    n, h, w = 3, 48, 48
+    feats = _blobs(rng, n * h * w, k_inst=5, sigma=0.04).reshape(n, h, w, 8)
+    flat = feats.reshape(-1, 8)
+    kwargs = dict(eps=0.06, min_samples=60, min_cluster_size=200,
+                  budget=4096)
+
+    masks_host = cl._cluster_mv_host(flat, n, h, w, exact=False, **kwargs)
+    masks_dev = cl._cluster_mv_device(jnp.asarray(flat), n, h, w, **kwargs)
+
+    assert masks_dev.shape == masks_host.shape
+    # identical subsample + (CPU backend: approx_min_k is exact) identical
+    # algorithm => near-identical masks; distance-formula fp rounding may
+    # flip rare boundary pixels
+    agree = (masks_dev == masks_host).mean()
+    assert agree > 0.995, agree
+
+
+def test_colorize_masks_consistent():
+    masks = np.array([[[-1, 0, 1], [2, 2, 0]]])
+    out = cl.colorize_masks(masks)
+    assert out.shape == (1, 2, 3, 3)
+    assert (out[0, 0, 0] == 0).all()  # noise renders black
+    assert (out[0, 0, 1] == out[0, 1, 2]).all()  # same label, same color
+    assert not (out[0, 0, 1] == out[0, 0, 2]).all()

@@ -73,7 +73,7 @@ _WORKER = textwrap.dedent(
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
     mesh = make_global_mesh(n_seq=2, devices=cpus)
-    assert dict(mesh.shape) == {"data": 2, "seq": 2}
+    assert dict(mesh.shape) == {"data": 2, "seq": 2, "model": 1}
     arr = jax.make_array_from_callback(
         (4, 2), NamedSharding(mesh, P("data", "seq")),
         lambda idx: np.ones((2, 1), np.float32),

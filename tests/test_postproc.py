@@ -423,3 +423,19 @@ def test_native_nn1_tie_break_consistent_across_dispatch():
     want = d2.argmin(1)
     np.testing.assert_array_equal(got_tree[:128], got_plain)
     np.testing.assert_array_equal(got_tree, want)
+
+
+def test_knn_smoothing_exact_matches_brute():
+    """`knn_smooth_features_exact` == the O(N^2) reference semantics
+    (true global kNN, self excluded) through both backends it dispatches
+    to (native KD-tree / device brute force)."""
+    from iggt_official_tpu.ops.knn import knn_smooth_features_exact
+
+    rng = np.random.default_rng(3)
+    N, H, W = 2, 16, 16
+    pts = rng.normal(0, 1, (N, H, W, 3)).astype(np.float32)
+    fts = rng.normal(0, 1, (N, H, W, 8)).astype(np.float32)
+
+    want = _brute_knn_avg(pts.reshape(-1, 3), fts.reshape(-1, 8), k=8)
+    got = knn_smooth_features_exact(pts, fts, k=8).reshape(-1, 8)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
