@@ -80,6 +80,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # the env var alone is too late on this image: sitecustomize imports
+    # jax (to register the axon plugin) before this script runs, so the
+    # config key must be set in-process
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from iggt_official_tpu.config import ModelConfig
@@ -111,11 +115,10 @@ def main() -> None:
 
     from iggt_official_tpu.ops.flash_attention import attention
 
-    # fused_ln: Pallas fused LayerNorm, bit-identical to the XLA LN
-    # (tests/test_heads.py::test_fused_ln_bit_identical) — parity numerics
-    fwd = jax.jit(
-        lambda p, x: model.apply(p, x, attn_fn=attention, fused_ln=True)
-    )
+    # fused_ln stays OFF: the Pallas fused LayerNorm measured a repeatable
+    # -1.2% end-to-end here (11.09 vs 11.22 views/s — it un-fuses the LN
+    # chain from XLA's neighbouring epilogues; PERF.md "fused LayerNorm")
+    fwd = jax.jit(lambda p, x: model.apply(p, x, attn_fn=attention))
 
     def sync(o):
         # NB: jax.block_until_ready returns without waiting through the
@@ -193,12 +196,23 @@ def scene_latency_p50(runs: int = 5):
     from iggt_official_tpu.app.demo import IGGTProcessor
 
     proc = IGGTProcessor()  # random weights; latency is weight-agnostic
+
+    def one_scene():
+        preds = proc._post_process(proc._run_inference(scene))
+        # predictions are device-resident; drain the remaining async work
+        # (instance_masks already synced — the cluster labels come back to
+        # the host — but the unprojection/PCA outputs may still be in
+        # flight, and block_until_ready returns early through the tunnel)
+        for k in ("world_points_from_depth", "part_feat_pca"):
+            np.asarray(preds[k][..., :1, :1, :])
+        return preds
+
     # warmup compiles the scene-shaped forward + postproc kernels
-    proc._post_process(proc._run_inference(scene))
+    one_scene()
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
-        proc._post_process(proc._run_inference(scene))
+        one_scene()
         times.append(time.perf_counter() - t0)
     return round(statistics.median(times), 3)
 

@@ -150,6 +150,13 @@ class IGGTProcessor:
         if preds is None:
             preds = self._run_inference(target_dir)
         preds = self._post_process(preds)
+        # one bulk device->host transfer for the export/eval stage; the
+        # forward + post-process above never round-trip the big tensors
+        # through the (slow) host link
+        preds = {
+            k: np.asarray(v) if not isinstance(v, np.ndarray) else v
+            for k, v in preds.items()
+        }
 
         results: Dict[str, Any] = {"predictions": preds}
         if gt_data is not None:
@@ -183,11 +190,13 @@ class IGGTProcessor:
             image_paths, mode="resize", resize_target_size=(W, H)
         )  # (S, H, W, 3)
         out = self._forward(self.params, jnp.asarray(images[None]))
-        preds = {
-            k: np.asarray(v)
-            for k, v in out.items()
-            if k != "pose_enc_list"
-        }
+        # keep predictions DEVICE-RESIDENT: the post-process stage (pose
+        # decode, unprojection, PCA, kNN smoothing, clustering) consumes
+        # them on-device, so downloading here would pay the host link
+        # twice (~115 MB down + ~75 MB back up per 10-view scene through
+        # a remote-TPU tunnel); process_scene materializes once after
+        # post-processing for export/eval
+        preds = {k: v for k, v in out.items() if k != "pose_enc_list"}
         preds["images"] = images
         return preds
 
@@ -198,21 +207,20 @@ class IGGTProcessor:
         extri, intri = pose_encoding_to_extri_intri(
             jnp.asarray(preds["pose_enc"]), (H, W)
         )
-        preds["extrinsic"] = np.asarray(extri)[0]  # (S, 3, 4)
-        preds["intrinsic"] = np.asarray(intri)[0]
+        preds["extrinsic"] = extri[0]  # (S, 3, 4); stays on device
+        preds["intrinsic"] = intri[0]
 
         for k in ("depth", "depth_conf", "world_points", "world_points_conf",
                   "part_feat"):
             if k in preds:
                 preds[k] = preds[k][0]  # drop batch dim
 
-        # depth-based world points (`demo.py:349-357`)
-        preds["world_points_from_depth"] = np.asarray(
-            unproject_depth_map_to_point_map(
-                jnp.asarray(preds["depth"]),
-                jnp.asarray(preds["extrinsic"]),
-                jnp.asarray(preds["intrinsic"]),
-            )
+        # depth-based world points (`demo.py:349-357`); device-resident —
+        # the caller materializes once after post-processing
+        preds["world_points_from_depth"] = unproject_depth_map_to_point_map(
+            jnp.asarray(preds["depth"]),
+            jnp.asarray(preds["extrinsic"]),
+            jnp.asarray(preds["intrinsic"]),
         )
 
         if "part_feat" in preds:
@@ -220,7 +228,7 @@ class IGGTProcessor:
             feat = feat / jnp.maximum(
                 jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12
             )
-            preds["part_feat_pca"] = np.asarray(apply_pca_colormap(feat))
+            preds["part_feat_pca"] = apply_pca_colormap(feat)
             smoothed = knn_smooth_features(
                 jnp.asarray(preds["world_points"]), feat,
                 k=self.runtime.clustering.knn_k,

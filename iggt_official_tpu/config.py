@@ -296,9 +296,13 @@ class RuntimeConfig:
     clustering: ClusteringConfig = dataclasses.field(default_factory=ClusteringConfig)
     use_flash_attention: bool = True
     # Pallas fused LayerNorm (ops/fused_ln.py) — bit-identical to the XLA
-    # LN (tests/test_heads.py::test_fused_ln_bit_identical), saves the
-    # fp32 convert_reduce bucket (~9% of the 8-view step)
-    fused_ln: bool = True
+    # LN (tests/test_heads.py::test_fused_ln_bit_identical).  Measured
+    # end-to-end on v5e it is a net LOSS at the flagship shape (11.09 vs
+    # 11.22 views/s, repeated A/B — the standalone kernel breaks XLA's
+    # fusion of the LN chain into neighbouring epilogues and pays extra
+    # HBM round trips), so it defaults OFF; kept for shapes where the
+    # convert_reduce bucket dominates (PERF.md "fused LayerNorm" row).
+    fused_ln: bool = False
     # merge this many KV tokens out of global attention (FastVGGT-style,
     # ops/token_merge.py); 0 = exact attention.  Worth enabling at 32+
     # views where token redundancy is high.
