@@ -27,23 +27,58 @@ import PIL.Image
 def segment_sky_heuristic(image: np.ndarray) -> np.ndarray:
     """(H, W, 3) uint8 RGB -> (H, W) uint8 keep-mask (255 = keep, 0 = sky).
 
-    Sky score = brightness x blue-dominance x smoothness; candidate pixels
-    are kept as sky only if their connected component touches the top
-    quarter of the image.
+    Sky = bright, smooth regions that are at least as blue as they are red
+    (daylight sky is never warmer than neutral, indoor lighting almost
+    always is), connected to the top quarter of the image.  Thresholds
+    were set against the hand-annotated goldens in
+    ``benchmarks/measure_sky.py`` (mean sky recall / indoor false-positive
+    rate are recorded in ``benchmarks/sky_deltas.json``).
+
+    Known failure modes vs the reference's trained skyseg model
+    (`visual_util.py:112-159`, unavailable here): warm sunset/sunrise
+    skies are missed (cool-tint requirement), night skies are missed
+    (brightness floor), and cool-tinted bright walls seen through the top
+    border can still false-positive.  `load_or_compute_sky_masks` accepts
+    any callable with the same contract for a learned replacement.
     """
     img = np.asarray(image, np.float32) / 255.0
     h, w = img.shape[:2]
     r, g, b = img[..., 0], img[..., 1], img[..., 2]
 
     brightness = img.mean(-1)
-    blue_dom = b - np.maximum(r, g) * 0.9
     gy = np.abs(np.diff(brightness, axis=0, prepend=brightness[:1]))
     gx = np.abs(np.diff(brightness, axis=1, prepend=brightness[:, :1]))
     smooth = (gx + gy) < 0.03
 
-    candidate = (brightness > 0.45) & (blue_dom > -0.02) & smooth
-    # overcast sky: very bright and smooth counts even without blue tint
-    candidate |= (brightness > 0.82) & smooth
+    cool = b - r  # daylight sky: >= ~0 (blue/grey/blown-white), walls: < 0
+    candidate = (brightness > 0.60) & (cool > 0.015) & smooth
+    # blown-out / white-overcast sky: all channels near saturation and
+    # not warm-tinted
+    candidate |= (
+        (brightness > 0.85)
+        & (np.minimum(np.minimum(r, g), b) > 0.80)
+        & (cool > -0.005)
+        & smooth
+    )
+
+    # close 1-2 px gaps (wires, antennas) so sky stays one component and
+    # the thin-structure shadows don't punch holes in the mask
+    closed = candidate
+    for _ in range(2):  # dilate
+        e = closed.copy()
+        e[1:] |= closed[:-1]
+        e[:-1] |= closed[1:]
+        e[:, 1:] |= closed[:, :-1]
+        e[:, :-1] |= closed[:, 1:]
+        closed = e
+    for _ in range(2):  # erode
+        e = closed.copy()
+        e[1:] &= closed[:-1]
+        e[:-1] &= closed[1:]
+        e[:, 1:] &= closed[:, :-1]
+        e[:, :-1] &= closed[:, 1:]
+        closed = e
+    candidate = closed
 
     from iggt_official_tpu.ops.connected_components import (
         connected_components_host,

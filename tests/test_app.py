@@ -161,6 +161,51 @@ def test_sky_mask_heuristic_and_cache(tmp_path):
     np.testing.assert_array_equal(masks, masks2)
 
 
+def test_sky_heuristic_golden_floors():
+    """Accuracy floors vs the hand-annotated golden masks checked into
+    tests/data/sky_golden (built by benchmarks/measure_sky.py from the
+    demo scenes; encoding 0=sky, 255=non-sky, 128=don't-care).  Guards
+    against heuristic regressions: mean sky recall and the indoor
+    false-positive rate are the two numbers that matter for GLB export
+    parity (`visual_util.py:112-159` semantics)."""
+    from iggt_official_tpu.utils.sky import segment_sky_heuristic
+
+    golden_dir = os.path.join(
+        os.path.dirname(__file__), "data", "sky_golden"
+    )
+    demo = "/root/reference/iggt_demo"
+    if not os.path.isdir(demo):
+        pytest.skip("demo scenes unavailable")
+    rels = {
+        "demo1__059ea665922dfdc543d7bdfba8da1a96.png":
+            "demo1/images/059ea665922dfdc543d7bdfba8da1a96.jpg",
+        "demo1__2096ab3582533634fe162b9a47ae21ab.png":
+            "demo1/images/2096ab3582533634fe162b9a47ae21ab.jpg",
+        "demo1__c636b1bbcaa1163de0b0ad0e73fa35fa.png":
+            "demo1/images/c636b1bbcaa1163de0b0ad0e73fa35fa.jpg",
+        "demo5__00011_3.png": "demo5/images/00011_3.jpg",
+        "demo9__00000.png": "demo9/images/00000.jpg",
+        "demo4__1.png": "demo4/images/1.png",
+        "demo7__sample_06_frame_72.png":
+            "demo7/images/sample_06_frame_72.jpg",
+    }
+    recalls, fp_rates = [], []
+    for golden_name, rel in rels.items():
+        golden = np.asarray(
+            PIL.Image.open(os.path.join(golden_dir, golden_name))
+        )
+        img = np.asarray(
+            PIL.Image.open(os.path.join(demo, rel)).convert("RGB")
+        )
+        pred_sky = segment_sky_heuristic(img) == 0
+        gt_sky, gt_non = golden == 0, golden == 255
+        if gt_sky.any():
+            recalls.append((pred_sky & gt_sky).sum() / gt_sky.sum())
+        fp_rates.append((pred_sky & gt_non).sum() / gt_non.sum())
+    assert np.mean(recalls) > 0.85, f"sky recall regressed: {recalls}"
+    assert np.mean(fp_rates) < 0.03, f"sky FP rate regressed: {fp_rates}"
+
+
 def test_depth_visualizations_full_set(tmp_path):
     from iggt_official_tpu.app.demo import IGGTProcessor
 
