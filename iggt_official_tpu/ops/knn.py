@@ -61,12 +61,13 @@ _ROTATIONS = np.stack(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "window"))
+@functools.partial(jax.jit, static_argnames=("k", "window", "block"))
 def knn_smooth_features(
     points: jax.Array,
     features: jax.Array,
     k: int = 20,
     window: int = 32,
+    block: int = 65536,
 ) -> jax.Array:
     """Average each point's k nearest neighbours' features.
 
@@ -75,6 +76,12 @@ def knn_smooth_features(
     candidates are the union, over 3 rotated Morton orderings, of the
     2*window points adjacent in each ordering (duplicates masked), from
     which the exact k nearest are kept.
+
+    The candidate dedup/distance/top-k phase is lax.map'ed over ``block``-
+    point chunks: unblocked, its transients ((M, 3*2w, 3) gathered
+    positions and friends) reach ~8 GiB at 10-view demo scale (M=1.69M)
+    and OOM a 16 GiB chip alongside the model params — blocking bounds
+    them at ~300 MiB with identical numerics.
     """
     shape = features.shape
     pts = points.reshape(-1, 3).astype(jnp.float32)
@@ -103,24 +110,42 @@ def knn_smooth_features(
         cand_ids.append(gathered)
 
     cand = jnp.concatenate(cand_ids, axis=1)  # (M, 3*2w) global ids, -1 pad
-    # mask duplicates: sort ids per row, invalidate repeats
-    cand_sorted = jnp.sort(cand, axis=1)
-    dup = jnp.concatenate(
-        [
-            jnp.zeros((M, 1), bool),
-            cand_sorted[:, 1:] == cand_sorted[:, :-1],
-        ],
-        axis=1,
-    )
-    cand_ok = (cand_sorted >= 0) & ~dup
-    safe = jnp.clip(cand_sorted, 0, M - 1)
 
-    d2 = jnp.sum((pts[safe] - pts[:, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(cand_ok, d2, jnp.inf)
+    def smooth_block(args):
+        cand_b, pts_b = args  # (B, 3*2w) i32, (B, 3) f32
+        # mask duplicates: sort ids per row, invalidate repeats
+        cand_sorted = jnp.sort(cand_b, axis=1)
+        dup = jnp.concatenate(
+            [
+                jnp.zeros((cand_b.shape[0], 1), bool),
+                cand_sorted[:, 1:] == cand_sorted[:, :-1],
+            ],
+            axis=1,
+        )
+        cand_ok = (cand_sorted >= 0) & ~dup
+        safe = jnp.clip(cand_sorted, 0, M - 1)
 
-    _, nbr = jax.lax.top_k(-d2, k)  # (M, k) indices into candidate axis
-    nbr_idx = jnp.take_along_axis(safe, nbr, axis=1)
-    smoothed = jnp.mean(fts[nbr_idx], axis=1)
+        d2 = jnp.sum((pts[safe] - pts_b[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(cand_ok, d2, jnp.inf)
+
+        _, nbr = jax.lax.top_k(-d2, k)  # (B, k) into candidate axis
+        nbr_idx = jnp.take_along_axis(safe, nbr, axis=1)
+        return jnp.mean(fts[nbr_idx], axis=1)
+
+    if M <= block:
+        smoothed = smooth_block((cand, pts))
+    else:
+        pad = (-M) % block
+        cand_p = jnp.pad(cand, ((0, pad), (0, 0)), constant_values=-1)
+        pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
+        out = jax.lax.map(
+            smooth_block,
+            (
+                cand_p.reshape(-1, block, cand.shape[1]),
+                pts_p.reshape(-1, block, 3),
+            ),
+        )
+        smoothed = out.reshape(-1, shape[-1])[:M]
     return smoothed.reshape(shape)
 
 
