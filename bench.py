@@ -145,13 +145,25 @@ def main() -> None:
             ms = jax.devices()[0].memory_stats()
             peak = round(ms.get("peak_bytes_in_use", 0) / 2**30, 2)
         except Exception:
+            pass  # memory_stats returns None through the axon tunnel
+        hbm = {}
+        try:
+            # compile-time accounting works even when runtime stats don't
+            ma = fwd.lower(params, images).compile().memory_analysis()
+            hbm = {
+                "xla_temp_gib": round(ma.temp_size_in_bytes / 2**30, 2),
+                "xla_args_gib": round(
+                    ma.argument_size_in_bytes / 2**30, 2),
+                "xla_out_gib": round(ma.output_size_in_bytes / 2**30, 2),
+            }
+        except Exception:
             pass
         print(json.dumps({
             "metric": f"views_per_sec_{S}view_504x336",
             "value": round(views_per_sec, 4),
             "unit": "views/s",
             "vs_baseline": None,
-            "extra": {"peak_hbm_gib": peak},
+            "extra": {"peak_hbm_gib": peak, **hbm},
         }))
         return
 

@@ -210,6 +210,13 @@ def brute_knn(
     e.g. the device MST)."""
     ref_d = jnp.asarray(ref, jnp.float32)
     Q, C = query.shape
+    # bound the (block, R) f32 distance buffer at ~512 MiB: the default
+    # 4096-query block is sized for 150k refs (2.4 GiB transient); the
+    # exact-mode 1-NN backfill passes ~1M refs, where 4096 x R x 4B would
+    # be a 16 GiB allocation (OOMed on 6-view demo scenes)
+    max_block = max(256, int((512 * 2**20) // max(ref_d.shape[0] * 4, 1)))
+    if block > max_block:
+        block = max(256, 1 << (max_block.bit_length() - 1))
     pad = (-Q) % block
     q = jnp.asarray(query, jnp.float32)
     if pad:
