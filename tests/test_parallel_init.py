@@ -90,7 +90,13 @@ def test_two_process_cpu_initialize(tmp_path):
     visibility, a ("data","seq") global mesh, and a cross-process reduction."""
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
-    port = 23456
+    # ephemeral port: a fixed one collides with leftover workers from a
+    # previous (killed) run and fails the whole suite
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
     procs = []
     for rank in range(2):
         env = dict(os.environ)
