@@ -41,6 +41,9 @@ def main() -> None:
                         help="model resolution (1024 = full SAM2)")
     parser.add_argument("--tiny", action="store_true",
                         help="use the tiny test config")
+    parser.add_argument("--preset", default="l",
+                        choices=["t", "s", "b+", "l"],
+                        help="hiera size preset (sam2.1 generation)")
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument(
         "--streaming", action="store_true",
@@ -49,9 +52,18 @@ def main() -> None:
     args = parser.parse_args()
 
     from iggt_official_tpu.sam2.build import build_sam2_video_predictor
-    from iggt_official_tpu.sam2.config import SAM2Config
+    from iggt_official_tpu.sam2.config import (
+        SAM2Config,
+        sam2_hiera_b_plus,
+        sam2_hiera_l,
+        sam2_hiera_s,
+        sam2_hiera_t,
+    )
 
-    cfg = SAM2Config()
+    cfg = {
+        "t": sam2_hiera_t, "s": sam2_hiera_s,
+        "b+": sam2_hiera_b_plus, "l": sam2_hiera_l,
+    }[args.preset]()
     if args.tiny:
         cfg = cfg.scaled(image_size=args.image_size)
     else:
