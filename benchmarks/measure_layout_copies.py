@@ -19,10 +19,14 @@ from __future__ import annotations
 import argparse
 import functools
 import os
+import os.path as op
 import statistics
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, op.join(op.dirname(op.abspath(__file__)), ".."))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
@@ -53,7 +57,11 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from iggt_official_tpu.ops import flash_attention as fa
+    import importlib
+
+    # ops/__init__ rebinds the submodule name to the jitted function, so a
+    # plain `import ... as fa` would resolve to the function, not the module
+    fa = importlib.import_module("iggt_official_tpu.ops.flash_attention")
 
     B, S, P, H, D = 1, 8, 1374, 16, 64
     N = S * P

@@ -12,9 +12,13 @@ from __future__ import annotations
 
 import argparse
 import os
+import os.path as op
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, op.join(op.dirname(op.abspath(__file__)), ".."))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
