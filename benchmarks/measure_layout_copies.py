@@ -31,17 +31,25 @@ sys.path.insert(0, op.join(op.dirname(op.abspath(__file__)), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 
-def timeit(fn, *args, runs=20, warmup=2):
+def _sync(out):
+    # one-element device-side slice + fetch: block_until_ready returns
+    # early through the axon tunnel, and a full np.asarray would download
+    # the whole output at ~35 MB/s — both corrupt the timing
     import jax
 
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def timeit(fn, *args, runs=20, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    _sync(out)
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
         out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        _sync(out)
         times.append(time.perf_counter() - t0)
     return statistics.median(times)
 

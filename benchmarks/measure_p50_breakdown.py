@@ -50,7 +50,11 @@ def main() -> None:
     proc = IGGTProcessor()
 
     def sync(x):
-        return np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+        # slice ON DEVICE before fetching: np.asarray on the full leaf
+        # would download it through the ~35 MB/s tunnel and inflate the
+        # stage wall by the transfer time
+        leaf = jax.tree.leaves(x)[0]
+        return np.asarray(leaf.ravel()[:1])
 
     import glob as _glob
 

@@ -26,17 +26,25 @@ sys.path.insert(0, op.join(op.dirname(op.abspath(__file__)), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 
-def timeit(fn, *args, runs=5, warmup=1):
+def _sync(out):
+    # one-element device-side slice + fetch: block_until_ready returns
+    # early through the axon tunnel, and a full np.asarray would download
+    # the whole output at ~35 MB/s — both corrupt the timing
     import jax
 
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def timeit(fn, *args, runs=5, warmup=1):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append(time.perf_counter() - t0)
     return statistics.median(times)
 
@@ -78,61 +86,69 @@ def main() -> None:
     t = timeit(phase_sort, pts, runs=args.runs)
     print(f"  morton+argsort x3            : {t*1e3:8.1f} ms", flush=True)
 
-    # --- phase B: candidate build (shift + scatter) x3 -------------------
+    # --- phase B: candidate build (sorted-order shifts + scatter) x3 ------
+    n_off = 2 * window
+
     @jax.jit
     def phase_cand(pts):
-        offsets = jnp.concatenate(
-            [jnp.arange(-window, 0), jnp.arange(1, window + 1)]
-        )
-        rows = jnp.arange(M)[:, None]
-        cand = []
+        cand_ids, cand_d2 = [], []
         for rot in K._ROTATIONS:
             order = jnp.argsort(K._morton_codes(pts @ jnp.asarray(rot).T))
-            pos = rows + offsets[None, :]
-            valid = (pos >= 0) & (pos < M)
-            ids = order[jnp.clip(pos, 0, M - 1)]
-            gathered = jnp.full((M, offsets.shape[0]), -1, jnp.int32)
-            gathered = gathered.at[order].set(
-                jnp.where(valid, ids, -1).astype(jnp.int32)
-            )
-            cand.append(gathered)
-        return jnp.concatenate(cand, axis=1)
+            pts_s = pts[order]
+            ids_pad = jnp.pad(order.astype(jnp.int32), (window, window),
+                              constant_values=-1)
+            pts_pad = jnp.pad(pts_s, ((window, window), (0, 0)))
+            cols_d2, cols_id = [], []
+            for o in (*range(-window, 0), *range(1, window + 1)):
+                j = o + window
+                diff = pts_s - pts_pad[j:j + M]
+                cols_d2.append(jnp.sum(diff * diff, axis=-1))
+                cols_id.append(ids_pad[j:j + M])
+            d2_s = jnp.stack(cols_d2, axis=0).T
+            ids_s = jnp.stack(cols_id, axis=0).T
+            d2_s = jnp.where(ids_s >= 0, d2_s, jnp.inf)
+            cand_ids.append(
+                jnp.full((M, n_off), -1, jnp.int32).at[order].set(ids_s))
+            cand_d2.append(
+                jnp.full((M, n_off), jnp.inf, jnp.float32).at[order].set(d2_s))
+        return jnp.concatenate(cand_ids, axis=1), jnp.concatenate(cand_d2, axis=1)
 
     t_cand = timeit(phase_cand, pts, runs=args.runs)
     print(f"  + candidate build (scatter)  : {t_cand*1e3:8.1f} ms", flush=True)
-    cand = jax.block_until_ready(phase_cand(pts))
+    cand, d2_all = phase_cand(pts)
+    _sync((cand, d2_all))
 
-    # --- phase C: dedup + distances + top-k + feature mean ---------------
+    # --- phase C: dedup + top-k + feature mean ----------------------------
     block = 65536
 
     @jax.jit
-    def phase_smooth(cand, pts, fts):
+    def phase_smooth(cand, d2_all, fts):
         def smooth_block(args_):
-            cand_b, pts_b = args_
-            cand_sorted = jnp.sort(cand_b, axis=1)
+            cand_b, d2_b = args_
+            cand_sorted, d2_sorted = jax.lax.sort(
+                (cand_b, d2_b), dimension=1, num_keys=1)
             dup = jnp.concatenate(
                 [jnp.zeros((cand_b.shape[0], 1), bool),
                  cand_sorted[:, 1:] == cand_sorted[:, :-1]], axis=1)
             cand_ok = (cand_sorted >= 0) & ~dup
             safe = jnp.clip(cand_sorted, 0, M - 1)
-            d2 = jnp.sum((pts[safe] - pts_b[:, None, :]) ** 2, axis=-1)
-            d2 = jnp.where(cand_ok, d2, jnp.inf)
+            d2 = jnp.where(cand_ok, d2_sorted, jnp.inf)
             _, nbr = jax.lax.top_k(-d2, k)
             nbr_idx = jnp.take_along_axis(safe, nbr, axis=1)
             return jnp.mean(fts[nbr_idx], axis=1)
 
         pad = (-M) % block
         cand_p = jnp.pad(cand, ((0, pad), (0, 0)), constant_values=-1)
-        pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
+        d2_p = jnp.pad(d2_all, ((0, pad), (0, 0)), constant_values=jnp.inf)
         out = jax.lax.map(
             smooth_block,
             (cand_p.reshape(-1, block, cand.shape[1]),
-             pts_p.reshape(-1, block, 3)),
+             d2_p.reshape(-1, block, d2_all.shape[1])),
         )
         return out.reshape(-1, F)[:M]
 
-    t = timeit(phase_smooth, cand, pts, fts, runs=args.runs)
-    print(f"  dedup+dist+topk+mean         : {t*1e3:8.1f} ms", flush=True)
+    t = timeit(phase_smooth, cand, d2_all, fts, runs=args.runs)
+    print(f"  dedup+topk+mean              : {t*1e3:8.1f} ms", flush=True)
 
     # --- clustering sub-phases at subsample scale -------------------------
     from iggt_official_tpu.ops.knn import brute_knn
@@ -151,6 +167,11 @@ def main() -> None:
                sub, runs=3)
     print(f"cluster: brute_knn 150k k=64   : {t*1e3:8.1f} ms", flush=True)
 
+    from iggt_official_tpu.ops.nn1_pallas import bucket_topk_pallas
+
+    t = timeit(lambda s: bucket_topk_pallas(s, s, 64), sub, runs=3)
+    print(f"cluster: bucket_topk 150k k=64 : {t*1e3:8.1f} ms", flush=True)
+
     t = timeit(lambda a, b: _boruvka_rank(a, b, 10), d_dev, i_dev, runs=3)
     print(f"cluster: boruvka (device)      : {t*1e3:8.1f} ms", flush=True)
 
@@ -166,11 +187,16 @@ def main() -> None:
                        False)
     print(f"cluster: host labelling        : {(time.perf_counter()-t0)*1e3:8.1f} ms", flush=True)
 
-    # 1-NN backfill of the non-subsampled pixels
+    # 1-NN backfill of the non-subsampled pixels (Pallas kernel, the
+    # pipeline's actual path, vs the HBM-materialized XLA blocks)
+    from iggt_official_tpu.ops.nn1_pallas import nn1_pallas
+
     q = jnp.asarray(rng.standard_normal((M - Ksub, F)), jnp.float32)
+    t = timeit(lambda qq, r: nn1_pallas(qq, r), q, sub, runs=3)
+    print(f"cluster: nn1_pallas   {M-Ksub:>8}: {t*1e3:8.1f} ms", flush=True)
     t = timeit(lambda r, qq: brute_knn(r, qq, 1, approx=True,
                                        out_device=True), sub, q, runs=3)
-    print(f"cluster: 1-NN backfill {M-Ksub:>7}: {t*1e3:8.1f} ms", flush=True)
+    print(f"cluster: 1-NN XLA     {M-Ksub:>8}: {t*1e3:8.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

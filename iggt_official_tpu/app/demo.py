@@ -54,6 +54,23 @@ from iggt_official_tpu.utils.images import load_and_preprocess_images
 
 logger = logging.getLogger(__name__)
 
+# jitted post-process stages: unjitted, each jnp op dispatches eagerly and
+# pays the per-dispatch host latency (~0.5 ms through a remote-TPU tunnel —
+# these three stages measured ~1 s of almost pure dispatch overhead in the
+# p50 breakdown); jitting collapses each stage to one dispatch
+_pose_decode_jit = jax.jit(pose_encoding_to_extri_intri,
+                           static_argnums=(1,))
+_unproject_jit = jax.jit(unproject_depth_map_to_point_map)
+
+
+@jax.jit
+def _normalize_and_pca(feat: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    feat = feat / jnp.maximum(
+        jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12
+    )
+    return feat, apply_pca_colormap(feat)
+
+
 CLUSTERING_PRESETS = {
     "small": CLUSTERING_SMALL,
     "medium": CLUSTERING_MEDIUM,
@@ -204,7 +221,7 @@ class IGGTProcessor:
     def _post_process(self, preds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         """`demo.py:333-401`: decode poses, unproject, cluster features."""
         S, H, W = preds["images"].shape[:3]
-        extri, intri = pose_encoding_to_extri_intri(
+        extri, intri = _pose_decode_jit(
             jnp.asarray(preds["pose_enc"]), (H, W)
         )
         preds["extrinsic"] = extri[0]  # (S, 3, 4); stays on device
@@ -217,18 +234,16 @@ class IGGTProcessor:
 
         # depth-based world points (`demo.py:349-357`); device-resident —
         # the caller materializes once after post-processing
-        preds["world_points_from_depth"] = unproject_depth_map_to_point_map(
+        preds["world_points_from_depth"] = _unproject_jit(
             jnp.asarray(preds["depth"]),
             jnp.asarray(preds["extrinsic"]),
             jnp.asarray(preds["intrinsic"]),
         )
 
         if "part_feat" in preds:
-            feat = jnp.asarray(preds["part_feat"])
-            feat = feat / jnp.maximum(
-                jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12
+            feat, preds["part_feat_pca"] = _normalize_and_pca(
+                jnp.asarray(preds["part_feat"])
             )
-            preds["part_feat_pca"] = apply_pca_colormap(feat)
             smoothed = knn_smooth_features(
                 jnp.asarray(preds["world_points"]), feat,
                 k=self.runtime.clustering.knn_k,

@@ -45,6 +45,45 @@ def test_nn1_pallas_exact_with_ties():
     np.testing.assert_array_equal(out, gt)
 
 
+def test_bucket_topk_pallas_properties():
+    """Bucket-min kNN kernel (interpret mode) vs exact brute force.
+
+    Checks the documented contract: exact distances for every returned
+    candidate, self at column 0 with d=0, ascending order, one-sided error
+    (the j-th returned distance can only be >= the true j-th), and recall
+    well above the 0.95 target of the approx_min_k path it replaced
+    (expected losses ~ C(k,2)/nb).
+    """
+    from iggt_official_tpu.ops.nn1_pallas import bucket_topk_pallas
+
+    rng = np.random.default_rng(3)
+    pts = _blobs(rng, 3000)  # pads to 2 ref blocks at block_k=2048 -> the
+    k = 16                   # cross-block merge and 2-fold paths both run
+    d, i = bucket_topk_pallas(
+        jnp.asarray(pts), jnp.asarray(pts), k, interpret=True
+    )
+    d, i = np.asarray(d), np.asarray(i)
+
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    true_sorted = np.sort(np.sqrt(d2), axis=1)[:, :k]
+
+    assert (i[:, 0] == np.arange(pts.shape[0])).all()      # self first
+    np.testing.assert_allclose(d[:, 0], 0.0, atol=1e-5)
+    assert (np.diff(d, axis=1) >= 0).all()                 # ascending
+    # returned distances are the exact distances of the returned indices
+    got = np.sqrt(d2[np.arange(pts.shape[0])[:, None], i])
+    np.testing.assert_allclose(d, got, rtol=1e-4, atol=1e-5)
+    # one-sided: a missed true neighbour only shifts distances up
+    assert (d >= true_sorted - 1e-5).all()
+    # set recall of the true k-NN
+    true_idx = np.argsort(d2, axis=1)[:, :k]
+    recall = np.mean([
+        len(set(i[r]) & set(true_idx[r])) / k
+        for r in range(pts.shape[0])
+    ])
+    assert recall > 0.97, recall
+
+
 @pytest.mark.skipif(not native.available(), reason="native kernels required")
 def test_device_mst_matches_native_on_identical_knn():
     rng = np.random.default_rng(1)
