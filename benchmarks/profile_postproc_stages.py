@@ -86,69 +86,62 @@ def main() -> None:
     t = timeit(phase_sort, pts, runs=args.runs)
     print(f"  morton+argsort x3            : {t*1e3:8.1f} ms", flush=True)
 
-    # --- phase B: candidate build (sorted-order shifts + scatter) x3 ------
-    n_off = 2 * window
-
+    # --- phase B: candidate build (position gather + scatter) x3 ----------
     @jax.jit
     def phase_cand(pts):
-        cand_ids, cand_d2 = [], []
+        offsets = jnp.concatenate(
+            [jnp.arange(-window, 0), jnp.arange(1, window + 1)]
+        )
+        rows = jnp.arange(M)[:, None]
+        cand = []
         for rot in K._ROTATIONS:
             order = jnp.argsort(K._morton_codes(pts @ jnp.asarray(rot).T))
-            pts_s = pts[order]
-            ids_pad = jnp.pad(order.astype(jnp.int32), (window, window),
-                              constant_values=-1)
-            pts_pad = jnp.pad(pts_s, ((window, window), (0, 0)))
-            cols_d2, cols_id = [], []
-            for o in (*range(-window, 0), *range(1, window + 1)):
-                j = o + window
-                diff = pts_s - pts_pad[j:j + M]
-                cols_d2.append(jnp.sum(diff * diff, axis=-1))
-                cols_id.append(ids_pad[j:j + M])
-            d2_s = jnp.stack(cols_d2, axis=0).T
-            ids_s = jnp.stack(cols_id, axis=0).T
-            d2_s = jnp.where(ids_s >= 0, d2_s, jnp.inf)
-            cand_ids.append(
-                jnp.full((M, n_off), -1, jnp.int32).at[order].set(ids_s))
-            cand_d2.append(
-                jnp.full((M, n_off), jnp.inf, jnp.float32).at[order].set(d2_s))
-        return jnp.concatenate(cand_ids, axis=1), jnp.concatenate(cand_d2, axis=1)
+            pos = rows + offsets[None, :]
+            valid = (pos >= 0) & (pos < M)
+            ids = order[jnp.clip(pos, 0, M - 1)]
+            gathered = jnp.full((M, offsets.shape[0]), -1, jnp.int32)
+            gathered = gathered.at[order].set(
+                jnp.where(valid, ids, -1).astype(jnp.int32)
+            )
+            cand.append(gathered)
+        return jnp.concatenate(cand, axis=1)
 
     t_cand = timeit(phase_cand, pts, runs=args.runs)
     print(f"  + candidate build (scatter)  : {t_cand*1e3:8.1f} ms", flush=True)
-    cand, d2_all = phase_cand(pts)
-    _sync((cand, d2_all))
+    cand = phase_cand(pts)
+    _sync(cand)
 
-    # --- phase C: dedup + top-k + feature mean ----------------------------
+    # --- phase C: dedup + distances + top-k + feature mean ----------------
     block = 65536
 
     @jax.jit
-    def phase_smooth(cand, d2_all, fts):
+    def phase_smooth(cand, pts, fts):
         def smooth_block(args_):
-            cand_b, d2_b = args_
-            cand_sorted, d2_sorted = jax.lax.sort(
-                (cand_b, d2_b), dimension=1, num_keys=1)
+            cand_b, pts_b = args_
+            cand_sorted = jnp.sort(cand_b, axis=1)
             dup = jnp.concatenate(
                 [jnp.zeros((cand_b.shape[0], 1), bool),
                  cand_sorted[:, 1:] == cand_sorted[:, :-1]], axis=1)
             cand_ok = (cand_sorted >= 0) & ~dup
             safe = jnp.clip(cand_sorted, 0, M - 1)
-            d2 = jnp.where(cand_ok, d2_sorted, jnp.inf)
+            d2 = jnp.sum((pts[safe] - pts_b[:, None, :]) ** 2, axis=-1)
+            d2 = jnp.where(cand_ok, d2, jnp.inf)
             _, nbr = jax.lax.top_k(-d2, k)
             nbr_idx = jnp.take_along_axis(safe, nbr, axis=1)
             return jnp.mean(fts[nbr_idx], axis=1)
 
         pad = (-M) % block
         cand_p = jnp.pad(cand, ((0, pad), (0, 0)), constant_values=-1)
-        d2_p = jnp.pad(d2_all, ((0, pad), (0, 0)), constant_values=jnp.inf)
+        pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
         out = jax.lax.map(
             smooth_block,
             (cand_p.reshape(-1, block, cand.shape[1]),
-             d2_p.reshape(-1, block, d2_all.shape[1])),
+             pts_p.reshape(-1, block, 3)),
         )
         return out.reshape(-1, F)[:M]
 
-    t = timeit(phase_smooth, cand, d2_all, fts, runs=args.runs)
-    print(f"  dedup+topk+mean              : {t*1e3:8.1f} ms", flush=True)
+    t = timeit(phase_smooth, cand, pts, fts, runs=args.runs)
+    print(f"  dedup+dist+topk+mean         : {t*1e3:8.1f} ms", flush=True)
 
     # --- clustering sub-phases at subsample scale -------------------------
     from iggt_official_tpu.ops.knn import brute_knn

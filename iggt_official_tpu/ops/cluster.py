@@ -359,19 +359,12 @@ def weighted_hdbscan(
         and bool(np.all(weights == 1))
         and _accelerator_available()
     ):
-        import jax
-        import jax.numpy as jnp
-
         from iggt_official_tpu.ops.cluster_device import mreach_mst_device
-        from iggt_official_tpu.ops.nn1_pallas import bucket_topk_pallas
+        from iggt_official_tpu.ops.knn import brute_knn
 
         k = min(K, max(64, min_samples + 1))
-        # fused Pallas bucket-min kNN: no (K, K) HBM distance materialization
-        # (recall/traffic analysis in the kernel docstring)
-        pts_dev = jnp.asarray(points, jnp.float32)
-        d_dev, i_dev = bucket_topk_pallas(
-            pts_dev, pts_dev, k,
-            interpret=jax.default_backend() == "cpu",
+        d_dev, i_dev = brute_knn(
+            points, points, k, approx=True, out_device=True
         )
         edge_a, edge_b, edge_d, core = mreach_mst_device(
             d_dev, i_dev, min_samples

@@ -77,62 +77,44 @@ def knn_smooth_features(
     2*window points adjacent in each ordering (duplicates masked), from
     which the exact k nearest are kept.
 
-    The candidate dedup/top-k phase is lax.map'ed over ``block``-point
-    chunks: unblocked, its sort/top-k transients ((M, 3*2w) pairs and
-    friends) reach multiple GiB at 10-view demo scale (M=1.69M) alongside
-    the model params — blocking bounds them with identical numerics.
+    The candidate dedup/distance/top-k phase is lax.map'ed over ``block``-
+    point chunks: unblocked, its transients ((M, 3*2w, 3) gathered
+    positions and friends) reach ~8 GiB at 10-view demo scale (M=1.69M)
+    and OOM a 16 GiB chip alongside the model params — blocking bounds
+    them at ~300 MiB with identical numerics.
     """
     shape = features.shape
     pts = points.reshape(-1, 3).astype(jnp.float32)
     fts = features.reshape(-1, shape[-1]).astype(jnp.float32)
     M = pts.shape[0]
 
-    # Distances are computed IN SORTED ORDER, where each candidate is a
-    # static shifted slice of the sorted cloud — pure contiguous reads —
-    # instead of gathering candidate coordinates per (point, offset) pair
-    # (M * 6w tiny 12-byte gathers dominated this function's runtime);
-    # the (d2, id) pairs are then scattered back to global point order
-    # once per rotation.  The subtraction pairs are unchanged, so the
-    # result is numerically identical to the gather formulation.
-    n_off = 2 * window
-    cand_ids, cand_d2 = [], []
+    offsets = jnp.concatenate(
+        [jnp.arange(-window, 0), jnp.arange(1, window + 1)]
+    )  # self excluded (loop=False in the reference)
+    rows = jnp.arange(M)[:, None]
+
+    cand_ids = []
     for rot in _ROTATIONS:
         order = jnp.argsort(_morton_codes(pts @ jnp.asarray(rot).T))
-        pts_s = pts[order]  # (M, 3) one row-gather per rotation
-        ids_pad = jnp.pad(
-            order.astype(jnp.int32), (window, window), constant_values=-1
+        pos = rows + offsets[None, :]  # position in this sorted order
+        valid = (pos >= 0) & (pos < M)
+        ids = order[jnp.clip(pos, 0, M - 1)]  # sorted-pos -> global id
+        # each point's own row in sorted order maps back: candidates of the
+        # point at sorted position i are order[i +/- offsets]; scatter them
+        # to the point id order[i]
+        own = order  # (M,) global id of sorted position i
+        gathered = jnp.full((M, offsets.shape[0]), -1, jnp.int32)
+        gathered = gathered.at[own].set(
+            jnp.where(valid, ids, -1).astype(jnp.int32)
         )
-        pts_pad = jnp.pad(pts_s, ((window, window), (0, 0)))
-        cols_d2, cols_id = [], []
-        # self excluded (loop=False in the reference)
-        for o in (*range(-window, 0), *range(1, window + 1)):
-            j = o + window
-            diff = pts_s - pts_pad[j:j + M]
-            cols_d2.append(jnp.sum(diff * diff, axis=-1))
-            cols_id.append(ids_pad[j:j + M])
-        # stack on axis 0 — (2w, M) tiles cleanly; stacking (M,) columns on
-        # axis 1 would pad each to a full (M, 128)-lane tile (measured 128x
-        # HBM expansion per column at compile time) — then transpose once
-        d2_s = jnp.stack(cols_d2, axis=0).T  # (M, 2w), sorted order
-        ids_s = jnp.stack(cols_id, axis=0).T  # -1 beyond the cloud edges
-        d2_s = jnp.where(ids_s >= 0, d2_s, jnp.inf)
-        cand_ids.append(
-            jnp.full((M, n_off), -1, jnp.int32).at[order].set(ids_s)
-        )
-        cand_d2.append(
-            jnp.full((M, n_off), jnp.inf, jnp.float32).at[order].set(d2_s)
-        )
+        cand_ids.append(gathered)
 
     cand = jnp.concatenate(cand_ids, axis=1)  # (M, 3*2w) global ids, -1 pad
-    d2_all = jnp.concatenate(cand_d2, axis=1)
 
     def smooth_block(args):
-        cand_b, d2_b = args  # (B, 3*2w) i32, (B, 3*2w) f32
-        # mask duplicates: sort ids per row (d2 rides along as payload —
-        # duplicate ids carry identical d2, so payload order is immaterial)
-        cand_sorted, d2_sorted = jax.lax.sort(
-            (cand_b, d2_b), dimension=1, num_keys=1
-        )
+        cand_b, pts_b = args  # (B, 3*2w) i32, (B, 3) f32
+        # mask duplicates: sort ids per row, invalidate repeats
+        cand_sorted = jnp.sort(cand_b, axis=1)
         dup = jnp.concatenate(
             [
                 jnp.zeros((cand_b.shape[0], 1), bool),
@@ -142,24 +124,25 @@ def knn_smooth_features(
         )
         cand_ok = (cand_sorted >= 0) & ~dup
         safe = jnp.clip(cand_sorted, 0, M - 1)
-        d2 = jnp.where(cand_ok, d2_sorted, jnp.inf)
+
+        d2 = jnp.sum((pts[safe] - pts_b[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(cand_ok, d2, jnp.inf)
 
         _, nbr = jax.lax.top_k(-d2, k)  # (B, k) into candidate axis
         nbr_idx = jnp.take_along_axis(safe, nbr, axis=1)
         return jnp.mean(fts[nbr_idx], axis=1)
 
     if M <= block:
-        smoothed = smooth_block((cand, d2_all))
+        smoothed = smooth_block((cand, pts))
     else:
         pad = (-M) % block
         cand_p = jnp.pad(cand, ((0, pad), (0, 0)), constant_values=-1)
-        d2_p = jnp.pad(d2_all, ((0, pad), (0, 0)),
-                       constant_values=jnp.inf)
+        pts_p = jnp.pad(pts, ((0, pad), (0, 0)))
         out = jax.lax.map(
             smooth_block,
             (
                 cand_p.reshape(-1, block, cand.shape[1]),
-                d2_p.reshape(-1, block, d2_all.shape[1]),
+                pts_p.reshape(-1, block, 3),
             ),
         )
         smoothed = out.reshape(-1, shape[-1])[:M]
