@@ -1,0 +1,27 @@
+# Developer gates. See RELEASE.md for when each must run.
+
+PY := python
+CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
+
+.PHONY: preflight preflight-tests bench dryrun test
+
+# Fast CPU subset covering the demo post-processing hot paths (<2 min).
+preflight-tests:
+	$(CPU_ENV) $(PY) -m pytest tests/test_postproc.py \
+	    tests/test_cluster_device.py -x -q
+
+# Full pre-snapshot gate: fast tests, then the real chip bench (includes
+# the 10-view scale smoke + compile-memory guard), then the multichip
+# sharding dryrun. Chip steps must not overlap the CPU pytest step.
+preflight: preflight-tests bench dryrun
+	@echo "preflight OK"
+
+bench:
+	$(PY) bench.py
+
+dryrun:
+	$(CPU_ENV) $(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+# Full suite (~34 min on the 1-core bench host).
+test:
+	$(CPU_ENV) $(PY) -m pytest tests/ -q

@@ -182,6 +182,11 @@ def main() -> None:
                 f,
             )
 
+    # free the throughput run's buffers before the 10-view smoke (images,
+    # activations); params are re-created inside the smoke's processor
+    del images, out
+    smoke = postproc_scale_smoke()
+
     p50 = scene_latency_p50()
 
     print(
@@ -191,10 +196,77 @@ def main() -> None:
                 "value": round(views_per_sec, 4),
                 "unit": "views/s",
                 "vs_baseline": round(views_per_sec / anchor, 4),
-                "extra": {"p50_scene_latency_s": p50},
+                "extra": {"p50_scene_latency_s": p50, **smoke},
             }
         )
     )
+
+
+def postproc_scale_smoke(views: int = 10, h: int = 336, w: int = 504):
+    """Compile + run the demo post-processing hot ops at 10-view scale
+    (M=1.69M px, the demo6 regime) with synthetic data.
+
+    Round 3 shipped a knn_smooth_features rewrite whose compile-time
+    tile-padding blowup was invisible to the 3-view p50 until the driver
+    ran it; this guard (a) asserts the smoothing executable's XLA temp
+    budget at scale and (b) actually executes smoothing + clustering once,
+    so any scale regression turns the whole bench red instead of hiding.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from iggt_official_tpu.ops.cluster import cluster_features_to_masks_mv
+    from iggt_official_tpu.ops.knn import knn_smooth_features
+
+    rng = np.random.default_rng(1)
+    # a handful of feature blobs + spatially coherent points: enough
+    # structure that clustering exercises its full pipeline (subsample,
+    # HDBSCAN, 1-NN backfill) rather than degenerating to all-noise
+    centers = rng.uniform(-1, 1, (6, 8)).astype(np.float32)
+    blob = rng.integers(0, 6, views * h * w)
+    fts_np = (centers[blob] + rng.normal(0, 0.05, (views * h * w, 8))
+              ).astype(np.float32).reshape(views, h, w, 8)
+    pts_np = (rng.normal(0, 1, (views, h, w, 3)).astype(np.float32)
+              + blob.reshape(views, h, w, 1).astype(np.float32))
+
+    pts = jax.device_put(jnp.asarray(pts_np))
+    fts = jax.device_put(jnp.asarray(fts_np))
+
+    # (a) compile-memory guard: the r03 failure mode was ~5 GiB of padded
+    # s32 temps at COMPILE time; a healthy build measures ~1.5 GiB here
+    temp_gib = None
+    try:
+        ma = (knn_smooth_features.lower(pts, fts, k=20)
+              .compile().memory_analysis())
+        temp_gib = ma.temp_size_in_bytes / 2**30
+    except Exception:
+        pass  # memory_analysis unsupported on some backends — run anyway
+    if temp_gib is not None and temp_gib > 6.0:
+        raise RuntimeError(
+            f"knn_smooth_features temp budget blown at 10-view scale: "
+            f"{temp_gib:.2f} GiB XLA temps (budget 6.0). Check for "
+            f"lane-padded (1, M) intermediates (see round-3 postmortem)."
+        )
+
+    # (b) execute once at scale
+    t0 = time.perf_counter()
+    smoothed = knn_smooth_features(pts, fts, k=20)
+    np.asarray(smoothed[..., :1, :1, :])  # drain through the tunnel
+    t_smooth = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    masks = cluster_features_to_masks_mv(smoothed, apply_colormap=False)
+    masks = np.asarray(masks)
+    t_cluster = time.perf_counter() - t0
+    if masks.shape != (views, h, w):
+        raise RuntimeError(f"clustering smoke bad shape {masks.shape}")
+
+    return {
+        "smoke10_smooth_s": round(t_smooth, 3),
+        "smoke10_cluster_s": round(t_cluster, 3),
+        "smoke10_smooth_temp_gib": (
+            round(temp_gib, 2) if temp_gib is not None else None),
+    }
 
 
 def scene_latency_p50(runs: int = 5):

@@ -62,7 +62,23 @@ def main() -> None:
     parser.add_argument("--exact_clustering", action="store_true",
                         help="full-density HDBSCAN (the reference algorithm "
                              "verbatim; slow — for fidelity evaluation runs)")
+    parser.add_argument("--ckpt", default=None,
+                        help="torch .pth checkpoint (alias of --model_path; "
+                             "converted via utils/torch_convert)")
+    parser.add_argument("--gate", action="store_true",
+                        help="BASELINE acceptance gate: compare every scene "
+                             "against --golden_root/<scene>/predictions.npz "
+                             "(the reference demo's saved outputs, "
+                             "demo.py:611-615); exit 1 if any scene is "
+                             "outside the 1%% window")
+    parser.add_argument("--golden_root", default=None,
+                        help="directory of the reference run's per-scene "
+                             "output dirs (required with --gate)")
     args = parser.parse_args()
+    if args.ckpt:
+        args.model_path = args.ckpt
+    if args.gate and not args.golden_root:
+        parser.error("--gate requires --golden_root")
 
     logging.basicConfig(level=logging.INFO)
     import dataclasses
@@ -83,6 +99,7 @@ def main() -> None:
         raise FileNotFoundError(f"no scenes with images/ under {args.scenes_root}")
 
     summaries: List[Dict] = []
+    gate_preds: Dict[str, Dict[str, np.ndarray]] = {}
     total_views = 0
     t0 = time.time()
     # software pipeline: scene i+1's GT load + device forward run on a
@@ -108,6 +125,8 @@ def main() -> None:
                 scene, out_dir, preds=preds, gt_data=gt_data
             )
             total_views += results["predictions"]["depth"].shape[0]
+            if args.gate:
+                gate_preds[name] = results["predictions"]
             if "evaluation" in results:
                 summaries.append(results["evaluation"]["summary"])
     elapsed = time.time() - t0
@@ -123,6 +142,17 @@ def main() -> None:
     with open(os.path.join(args.save_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary, indent=2))
+
+    if args.gate:
+        from iggt_official_tpu.eval.gate import run_gate
+
+        table, ok = run_gate(
+            gate_preds, args.golden_root,
+            save_path=os.path.join(args.save_dir, "gate.json"),
+        )
+        print(table)
+        if not ok:
+            raise SystemExit(1)
 
 
 if __name__ == "__main__":

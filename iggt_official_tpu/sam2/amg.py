@@ -91,6 +91,98 @@ def area_from_rle(rle: Dict[str, Any]) -> int:
     return sum(rle["counts"][1::2])
 
 
+def build_all_layer_point_grids(
+    n_per_side: int, n_layers: int, scale_per_layer: int
+) -> List[np.ndarray]:
+    """Per-crop-layer grids, layer i downscaled by scale^i (`amg.py:185-193`)."""
+    return [
+        build_point_grid(max(1, int(n_per_side / (scale_per_layer**i))))
+        for i in range(n_layers + 1)
+    ]
+
+
+def generate_crop_boxes(
+    im_size: Tuple[int, int], n_layers: int, overlap_ratio: float
+) -> Tuple[List[List[int]], List[int]]:
+    """Layered overlapping crop boxes, (2^i)^2 per layer i, plus the full
+    image at layer 0 (`sam2/utils/amg.py:196-230` semantics verbatim —
+    crop placement must match bit-for-bit for mask parity)."""
+    import math
+
+    crop_boxes, layer_idxs = [], []
+    im_h, im_w = im_size
+    short_side = min(im_h, im_w)
+    crop_boxes.append([0, 0, im_w, im_h])
+    layer_idxs.append(0)
+
+    def crop_len(orig_len: int, n_crops: int, overlap: int) -> int:
+        return int(math.ceil((overlap * (n_crops - 1) + orig_len) / n_crops))
+
+    for i_layer in range(n_layers):
+        n_per_side = 2 ** (i_layer + 1)
+        overlap = int(overlap_ratio * short_side * (2 / n_per_side))
+        crop_w = crop_len(im_w, n_per_side, overlap)
+        crop_h = crop_len(im_h, n_per_side, overlap)
+        for x0 in ((crop_w - overlap) * i for i in range(n_per_side)):
+            for y0 in ((crop_h - overlap) * i for i in range(n_per_side)):
+                crop_boxes.append(
+                    [int(x0), int(y0),
+                     min(int(x0) + crop_w, im_w), min(int(y0) + crop_h, im_h)]
+                )
+                layer_idxs.append(i_layer + 1)
+    return crop_boxes, layer_idxs
+
+
+def uncrop_boxes_xyxy(boxes: np.ndarray, crop_box: List[int]) -> np.ndarray:
+    x0, y0 = crop_box[0], crop_box[1]
+    return np.asarray(boxes, np.float32) + np.array(
+        [x0, y0, x0, y0], np.float32
+    )
+
+
+def uncrop_points(points: np.ndarray, crop_box: List[int]) -> np.ndarray:
+    return np.asarray(points, np.float32) + np.array(
+        crop_box[:2], np.float32
+    )
+
+
+def uncrop_masks(
+    masks: np.ndarray, crop_box: List[int], orig_h: int, orig_w: int
+) -> np.ndarray:
+    """Pad crop-frame masks back to the original frame (`amg.py:251-260`)."""
+    x0, y0, x1, y1 = crop_box
+    if x0 == 0 and y0 == 0 and x1 == orig_w and y1 == orig_h:
+        return masks
+    out = np.zeros(masks.shape[:-2] + (orig_h, orig_w), masks.dtype)
+    out[..., y0:y1, x0:x1] = masks
+    return out
+
+
+def is_box_near_crop_edge(
+    boxes: np.ndarray,
+    crop_box: List[int],
+    orig_box: List[int],
+    atol: float = 20.0,
+) -> np.ndarray:
+    """True for boxes touching a crop edge that is NOT an image edge
+    (`amg.py:74-84`): such masks are fragments of the crop window, and the
+    neighbouring overlapping crop sees the whole object."""
+    boxes = uncrop_boxes_xyxy(boxes, crop_box)
+    near_crop = np.isclose(
+        boxes, np.asarray(crop_box, np.float32)[None], atol=atol, rtol=0
+    )
+    near_image = np.isclose(
+        boxes, np.asarray(orig_box, np.float32)[None], atol=atol, rtol=0
+    )
+    return np.any(near_crop & ~near_image, axis=-1)
+
+
+def box_area(boxes: np.ndarray) -> np.ndarray:
+    return np.maximum(boxes[..., 2] - boxes[..., 0], 0) * np.maximum(
+        boxes[..., 3] - boxes[..., 1], 0
+    )
+
+
 def nms_boxes(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float) -> List[int]:
     """Greedy box NMS (torchvision.ops.nms equivalent)."""
     order = np.argsort(-scores)
@@ -133,6 +225,32 @@ def remove_small_regions(
 # ---------------------------------------------------------------------------
 
 
+class _CropData:
+    """Per-crop accumulator (the reference's MaskData, numpy-only)."""
+
+    def __init__(self):
+        self.masks: List[np.ndarray] = []   # bool, original frame
+        self.ious: List[float] = []
+        self.stability: List[float] = []
+        self.points: List[np.ndarray] = []  # original-frame coords
+        self.boxes: List[np.ndarray] = []   # xyxy, original frame
+        self.crop_boxes: List[List[int]] = []
+
+    def extend(self, other: "_CropData") -> None:
+        for name in ("masks", "ious", "stability", "points", "boxes",
+                     "crop_boxes"):
+            getattr(self, name).extend(getattr(other, name))
+
+    def filter(self, keep) -> None:
+        for name in ("masks", "ious", "stability", "points", "boxes",
+                     "crop_boxes"):
+            vals = getattr(self, name)
+            setattr(self, name, [v for v, k in zip(vals, keep) if k])
+
+    def __len__(self) -> int:
+        return len(self.masks)
+
+
 class SAM2AutomaticMaskGenerator:
     def __init__(
         self,
@@ -144,63 +262,132 @@ class SAM2AutomaticMaskGenerator:
         stability_score_offset: float = 1.0,
         mask_threshold: float = 0.0,
         box_nms_thresh: float = 0.7,
+        crop_n_layers: int = 0,
+        crop_nms_thresh: float = 0.7,
+        crop_overlap_ratio: float = 512 / 1500,
+        crop_n_points_downscale_factor: int = 1,
         min_mask_region_area: int = 0,
         output_mode: str = "binary_mask",
     ):
         self.predictor = predictor
-        self.point_grid = build_point_grid(points_per_side)
+        self.point_grids = build_all_layer_point_grids(
+            points_per_side, crop_n_layers, crop_n_points_downscale_factor
+        )
         self.points_per_batch = points_per_batch
         self.pred_iou_thresh = pred_iou_thresh
         self.stability_score_thresh = stability_score_thresh
         self.stability_score_offset = stability_score_offset
         self.mask_threshold = mask_threshold
         self.box_nms_thresh = box_nms_thresh
+        self.crop_n_layers = crop_n_layers
+        self.crop_nms_thresh = crop_nms_thresh
+        self.crop_overlap_ratio = crop_overlap_ratio
         self.min_mask_region_area = min_mask_region_area
         self.output_mode = output_mode
 
-    def generate(self, image: np.ndarray) -> List[Dict[str, Any]]:
-        """`automatic_mask_generator.py:163-215` (crop_n_layers=0 path)."""
-        H, W = image.shape[:2]
-        self.predictor.set_image(image)
+    # -- per-crop pipeline --------------------------------------------------
+    def _process_crop(
+        self,
+        image: np.ndarray,
+        crop_box: List[int],
+        layer_idx: int,
+        orig_size: Tuple[int, int],
+    ) -> _CropData:
+        """`automatic_mask_generator.py:246-295`: encode the crop, sweep its
+        point grid, filter, NMS within the crop, uncrop to the original
+        frame."""
+        orig_h, orig_w = orig_size
+        x0, y0, x1, y1 = crop_box
+        crop = image[y0:y1, x0:x1]
+        ch, cw = crop.shape[:2]
+        self.predictor.set_image(crop)
+        grid = self.point_grids[layer_idx] * np.array([cw, ch])
 
-        all_masks: List[np.ndarray] = []
-        all_ious: List[float] = []
-        all_points: List[np.ndarray] = []
-        grid = self.point_grid * np.array([W, H])
-
+        data = _CropData()
         for start in range(0, len(grid), self.points_per_batch):
             batch = grid[start : start + self.points_per_batch]
             low_multi, ious = self.predictor.predict_point_batch(batch)
-            # resize low-res logits to the original frame per batch
-            masks = self.predictor._transforms.postprocess_masks(
-                jnp.asarray(low_multi), (H, W)
+            masks = np.asarray(
+                self.predictor._transforms.postprocess_masks(
+                    jnp.asarray(low_multi), (ch, cw)
+                )
             )
-            for b, pt in enumerate(batch):
-                for m in range(masks.shape[1]):
-                    all_masks.append(masks[b, m])
-                    all_ious.append(float(ious[b, m]))
-                    all_points.append(pt)
+            # flatten the multimask axis, filter per batch (ref :325-356)
+            n_multi = masks.shape[1]
+            masks = masks.reshape(-1, ch, cw)
+            ious = np.asarray(ious).reshape(-1)
+            pts = np.repeat(batch, n_multi, axis=0)
 
-        masks = np.stack(all_masks)
-        ious = np.asarray(all_ious)
+            keep = ious > self.pred_iou_thresh
+            stability = calculate_stability_score(
+                masks, self.mask_threshold, self.stability_score_offset
+            )
+            keep &= stability >= self.stability_score_thresh
+            if not keep.any():
+                continue
+            masks, ious = masks[keep], ious[keep]
+            stability, pts = stability[keep], pts[keep]
 
-        keep = ious > self.pred_iou_thresh
-        stability = calculate_stability_score(
-            masks, self.mask_threshold, self.stability_score_offset
+            bin_masks = masks > self.mask_threshold
+            boxes = batched_mask_to_box(bin_masks)
+            # drop crop-window fragments (a neighbouring crop sees the
+            # whole object); image-edge contacts stay (ref :364-369)
+            edge = is_box_near_crop_edge(
+                boxes, crop_box, [0, 0, orig_w, orig_h]
+            )
+            for i in np.nonzero(~edge)[0]:
+                data.masks.append(
+                    uncrop_masks(bin_masks[i], crop_box, orig_h, orig_w)
+                )
+                data.ious.append(float(ious[i]))
+                data.stability.append(float(stability[i]))
+                data.points.append(uncrop_points(pts[i], crop_box))
+                data.boxes.append(uncrop_boxes_xyxy(boxes[i], crop_box))
+                data.crop_boxes.append(list(crop_box))
+
+        if len(data) == 0:
+            return data
+        keep_idx = nms_boxes(
+            np.stack(data.boxes), np.asarray(data.ious), self.box_nms_thresh
         )
-        keep &= stability >= self.stability_score_thresh
-        masks, ious, stability = masks[keep], ious[keep], stability[keep]
-        points = [p for p, k in zip(all_points, keep) if k]
-        if len(masks) == 0:
+        keep = np.zeros(len(data), bool)
+        keep[keep_idx] = True
+        data.filter(keep)
+        return data
+
+    def generate(self, image: np.ndarray) -> List[Dict[str, Any]]:
+        """`automatic_mask_generator.py:163-243`: full crop sweep — the
+        whole image plus (2^i)^2 overlapping crops per layer i, each run
+        through the grid-prompt pipeline, deduplicated across crops by NMS
+        that prefers masks from smaller crops (finer detail)."""
+        orig_size = image.shape[:2]
+        crop_boxes, layer_idxs = generate_crop_boxes(
+            orig_size, self.crop_n_layers, self.crop_overlap_ratio
+        )
+
+        data = _CropData()
+        for crop_box, layer_idx in zip(crop_boxes, layer_idxs):
+            data.extend(
+                self._process_crop(image, crop_box, layer_idx, orig_size)
+            )
+        if len(data) == 0:
             return []
 
-        bin_masks = masks > self.mask_threshold
-        boxes = batched_mask_to_box(bin_masks)
-        keep_idx = nms_boxes(boxes, ious, self.box_nms_thresh)
+        if len(crop_boxes) > 1:
+            # prefer masks from smaller crops (ref :231-240)
+            scores = 1.0 / np.maximum(
+                box_area(np.stack([np.asarray(cb, np.float32)
+                                   for cb in data.crop_boxes])), 1e-9)
+            keep_idx = nms_boxes(
+                np.stack(data.boxes), scores, self.crop_nms_thresh
+            )
+            keep = np.zeros(len(data), bool)
+            keep[keep_idx] = True
+            data.filter(keep)
 
         results: List[Dict[str, Any]] = []
-        for i in keep_idx:
-            mask = bin_masks[i]
+        for i in range(len(data)):
+            mask = data.masks[i]
             if self.min_mask_region_area > 0:
                 mask, _ = remove_small_regions(
                     mask, self.min_mask_region_area, "holes"
@@ -214,10 +401,13 @@ class SAM2AutomaticMaskGenerator:
                     mask if self.output_mode == "binary_mask" else rle
                 ),
                 "area": int(mask.sum()),
-                "bbox": box_xyxy_to_xywh(boxes[i]).tolist(),
-                "predicted_iou": float(ious[i]),
-                "point_coords": [points[i].tolist()],
-                "stability_score": float(stability[i]),
+                "bbox": box_xyxy_to_xywh(data.boxes[i]).tolist(),
+                "predicted_iou": data.ious[i],
+                "point_coords": [np.asarray(data.points[i]).tolist()],
+                "stability_score": data.stability[i],
+                "crop_box": box_xyxy_to_xywh(
+                    np.asarray(data.crop_boxes[i], np.float32)
+                ).tolist(),
             }
             results.append(record)
         results.sort(key=lambda r: r["area"], reverse=True)

@@ -308,3 +308,123 @@ def test_batch_eval_pipelined(tmp_path, monkeypatch):
     assert np.isfinite(summary["metrics"]["depth"]["absrel"])
     for name in ("sceneA", "sceneB"):
         assert os.path.exists(save / name / "predictions.npz")
+
+
+def test_gate_compare_scene_units():
+    """eval/gate.py metric mechanics: exact parity passes, 1%-window
+    violations fail, and instance masks are recoverable from the
+    reference's colored-mask format (`demo.py:398`)."""
+    from iggt_official_tpu.eval.gate import (
+        compare_scene, gate_report, masks_from_colored,
+    )
+
+    rng = np.random.default_rng(0)
+    depth = rng.uniform(0.5, 3.0, (2, 8, 8, 1)).astype(np.float32)
+    labels = np.zeros((2, 8, 8), np.int64)
+    labels[:, 4:, :] = 1
+    labels[:, :2, :2] = -1
+    ext = np.tile(np.eye(3, 4, dtype=np.float32), (2, 1, 1))
+    ext[:, 0, 3] = [0.0, 0.5]
+    preds = {"depth": depth, "instance_masks": labels, "extrinsic": ext}
+
+    # golden in the reference's format: colored masks, noise black
+    colors = np.array([[0, 0, 0], [255, 40, 3], [9, 200, 120]], np.uint8)
+    colored = colors[labels + 1]
+    golden = {"depth": depth.copy(), "features": colored,
+              "extrinsic": ext.copy()}
+    assert len(masks_from_colored(colored)) == 2
+
+    row = compare_scene(preds, golden)
+    assert row["pass"]
+    assert row["depth_absrel"] == 0.0
+    assert row["mask_matched_miou"] == 1.0
+    assert row["pose_rot_deg"] < 1e-5
+
+    # depth off by 2% -> outside the 1% acceptance window
+    bad = compare_scene({**preds, "depth": depth * 1.02}, golden)
+    assert not bad["pass"] and bad["depth_absrel"] > 0.01
+
+    # a merged instance (two golden clusters -> one of ours) fails mIoU
+    merged = compare_scene(
+        {**preds, "instance_masks": np.zeros_like(labels)}, golden
+    )
+    assert not merged["pass"]
+
+    table, ok = gate_report({"good": row, "bad": bad})
+    assert not ok and "PASS" in table and "FAIL" in table
+
+
+def test_checkpoint_gate_harness(tmp_path, monkeypatch):
+    """VERDICT r3 task 4: the one-command acceptance harness, end-to-end.
+
+    Proves with a tiny model that (1) `--ckpt` routes a torch .pth through
+    the converter into the processor, (2) `--gate` against a golden
+    predictions.npz passes inside the 1% window and writes gate.json, and
+    (3) a perturbed golden fails with exit code 1 — turnkey for the real
+    checkpoint (BASELINE.json acceptance; golden source
+    `/root/reference/demo.py:611-615`)."""
+    import json
+    import sys
+
+    import torch
+
+    from iggt_official_tpu.app import batch_eval
+    from iggt_official_tpu.app.demo import IGGTProcessor
+
+    root = tmp_path / "scenes"
+    os.makedirs(root)
+    _make_scene(root / "x", S=2, W=56, H=42)
+    os.rename(root / "x" / "scene", root / "demo1")
+    os.rmdir(root / "x")
+
+    cfg = ModelConfig().scaled(
+        embed_dim=32, depth=2, num_heads=2, img_size=56, patch_embed="conv"
+    )
+    monkeypatch.setattr(
+        "iggt_official_tpu.app.demo.IGGTProcessor.__init__.__defaults__",
+        (None, cfg, None),
+        raising=False,
+    )
+
+    # torch checkpoint with a reference-named tensor; the converter must
+    # land it on the flax slot (partial merge, strict=False — demo.py:113)
+    ckpt = tmp_path / "ref.pth"
+    cam_tok = np.full((1, 2, 1, 32), 0.123, np.float32)
+    torch.save({"model": {"module.aggregator.camera_token":
+                          torch.from_numpy(cam_tok)}}, ckpt)
+    proc = IGGTProcessor(model_path=str(ckpt), model_cfg=cfg)
+    loaded_tok = np.asarray(
+        proc.params["params"]["aggregator"]["camera_token"])
+    assert np.allclose(loaded_tok, 0.123)
+    del proc
+
+    def run(argv):
+        monkeypatch.setattr(sys, "argv", ["batch_eval", *argv])
+        batch_eval.main()
+
+    # pass 1: produce the goldens (same ckpt => deterministic outputs)
+    gold = tmp_path / "golden"
+    run(["--scenes_root", str(root), "--save_dir", str(gold),
+         "--preset", "small", "--image_size", "56", "42",
+         "--ckpt", str(ckpt)])
+
+    # pass 2: gate against them -> must pass and write gate.json
+    out = tmp_path / "gated"
+    run(["--scenes_root", str(root), "--save_dir", str(out),
+         "--preset", "small", "--image_size", "56", "42",
+         "--ckpt", str(ckpt), "--gate", "--golden_root", str(gold)])
+    with open(out / "gate.json") as f:
+        gate = json.load(f)
+    assert gate["pass"]
+    assert gate["scenes"]["demo1"]["depth_absrel"] <= 0.01
+
+    # pass 3: perturb the golden depth by 5% -> gate exits 1
+    gpath = gold / "demo1" / "predictions.npz"
+    with np.load(gpath) as g:
+        bad = {k: g[k] for k in g.files}
+    bad["depth"] = bad["depth"] * 1.05
+    np.savez(gpath, **bad)
+    with pytest.raises(SystemExit):
+        run(["--scenes_root", str(root), "--save_dir", str(tmp_path / "g2"),
+             "--preset", "small", "--image_size", "56", "42",
+             "--ckpt", str(ckpt), "--gate", "--golden_root", str(gold)])

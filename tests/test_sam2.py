@@ -261,6 +261,76 @@ def test_amg_generate(tiny_sam):
                       "stability_score", "point_coords"}
 
 
+def test_amg_crop_helpers():
+    """Crop sweep geometry (`sam2/utils/amg.py:196-260`): layered boxes,
+    uncrop round-trips, crop-edge filtering."""
+    from iggt_official_tpu.sam2.amg import (
+        build_all_layer_point_grids,
+        generate_crop_boxes,
+        is_box_near_crop_edge,
+        uncrop_boxes_xyxy,
+        uncrop_masks,
+        uncrop_points,
+    )
+
+    boxes, layers = generate_crop_boxes((60, 90), n_layers=1,
+                                        overlap_ratio=0.3)
+    # full image + 2x2 crops
+    assert boxes[0] == [0, 0, 90, 60] and layers == [0, 1, 1, 1, 1]
+    assert len(boxes) == 5
+    for x0, y0, x1, y1 in boxes[1:]:
+        assert 0 <= x0 < x1 <= 90 and 0 <= y0 < y1 <= 60
+    # neighbouring crops overlap
+    assert boxes[1][2] > boxes[3][0] and boxes[1][3] > boxes[2][1]
+
+    grids = build_all_layer_point_grids(8, 1, 2)
+    assert grids[0].shape == (64, 2) and grids[1].shape == (16, 2)
+
+    crop = [10, 20, 50, 44]
+    m = np.zeros((24, 40), bool)
+    m[2:5, 3:9] = True
+    un = uncrop_masks(m, crop, 60, 90)
+    assert un.shape == (60, 90) and un[22:25, 13:19].all() and un.sum() == m.sum()
+    np.testing.assert_array_equal(
+        uncrop_boxes_xyxy(np.array([[3, 2, 9, 5]]), crop),
+        [[13, 22, 19, 25]])
+    np.testing.assert_array_equal(
+        uncrop_points(np.array([[3, 2]]), crop), [[13, 22]])
+
+    # a box on the crop's interior edge is a fragment; one on the image
+    # edge is not
+    crop = [0, 0, 50, 60]
+    frag = np.array([[30, 10, 50, 20]])     # touches x1=50 (interior)
+    edge = np.array([[0, 10, 20, 20]])      # touches x0=0 (image edge)
+    assert is_box_near_crop_edge(frag, crop, [0, 0, 90, 60]).tolist() == [True]
+    assert is_box_near_crop_edge(edge, crop, [0, 0, 90, 60]).tolist() == [False]
+
+
+def test_amg_generate_multicrop(tiny_sam):
+    """crop_n_layers=1: the sweep runs 5 crops, dedups across them with
+    smaller-crop preference, and records each mask's crop_box
+    (`automatic_mask_generator.py:217-243`)."""
+    from iggt_official_tpu.sam2.amg import SAM2AutomaticMaskGenerator
+
+    model, variables = tiny_sam
+    pred = SAM2ImagePredictor(model, variables)
+    rng = np.random.default_rng(3)
+    image = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    amg = SAM2AutomaticMaskGenerator(
+        pred, points_per_side=4, pred_iou_thresh=0.0,
+        stability_score_thresh=0.0, crop_n_layers=1,
+        crop_n_points_downscale_factor=2,
+    )
+    results = amg.generate(image)
+    assert len(results) > 0
+    crop_boxes = {tuple(r["crop_box"]) for r in results}
+    assert all(len(cb) == 4 for cb in crop_boxes)
+    for r in results:
+        assert r["segmentation"].shape == (48, 64)
+        x, y, w, h = r["bbox"]
+        assert 0 <= x <= 64 and 0 <= y <= 48
+
+
 def _write_jpeg_frames(tmp_path, n=5, hw=(48, 64), seed=2):
     import cv2
 
