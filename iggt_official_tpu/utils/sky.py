@@ -27,19 +27,31 @@ import PIL.Image
 def segment_sky_heuristic(image: np.ndarray) -> np.ndarray:
     """(H, W, 3) uint8 RGB -> (H, W) uint8 keep-mask (255 = keep, 0 = sky).
 
-    Sky = bright, smooth regions that are at least as blue as they are red
-    (daylight sky is never warmer than neutral, indoor lighting almost
-    always is), connected to the top quarter of the image.  Thresholds
-    were set against the hand-annotated goldens in
-    ``benchmarks/measure_sky.py`` (mean sky recall / indoor false-positive
-    rate are recorded in ``benchmarks/sky_deltas.json``).
+    Sky = smooth regions connected to the top quarter of the image that
+    match one of four photometric profiles:
+      - daylight: bright and at least as blue as red (daylight sky is
+        never warmer than neutral, indoor lighting almost always is);
+      - overcast/blown-white: all channels near saturation, not warm;
+      - sunset/sunrise (round 4): warm but monotone r >= g >= b grading
+        with enough chroma, bright-ish — distinguished from warm indoor
+        walls by the vertical-extent filter below;
+      - night (round 4): globally dark image (median < 0.30), very
+        smooth, dark, cool-tinted (night skies keep a blue cast; dark
+        indoor surfaces are neutral/warm).
+    Top-connected components whose mass extends into the bottom fifth of
+    the frame are rejected (sky sits above the skyline; walls/ceilings
+    run floor-to-ceiling) — this is what keeps the sunset branch from
+    swallowing warm bright walls.  Thresholds were set against the
+    hand-annotated goldens + deterministic sunset/night/overcast variants
+    in ``benchmarks/measure_sky.py`` (recall / false-positive rates per
+    variant are recorded in ``benchmarks/sky_deltas.json``).
 
-    Known failure modes vs the reference's trained skyseg model
-    (`visual_util.py:112-159`, unavailable here): warm sunset/sunrise
-    skies are missed (cool-tint requirement), night skies are missed
-    (brightness floor), and cool-tinted bright walls seen through the top
-    border can still false-positive.  `load_or_compute_sky_masks` accepts
-    any callable with the same contract for a learned replacement.
+    Remaining failure modes vs the reference's trained skyseg model
+    (`visual_util.py:112-159`, unavailable here — zero egress): warm
+    bright walls that stop above the bottom fifth can false-positive
+    under sunset light, and moonless warm-polluted night skies are
+    missed.  `load_or_compute_sky_masks` accepts any callable with the
+    same contract for a learned replacement.
     """
     img = np.asarray(image, np.float32) / 255.0
     h, w = img.shape[:2]
@@ -48,9 +60,11 @@ def segment_sky_heuristic(image: np.ndarray) -> np.ndarray:
     brightness = img.mean(-1)
     gy = np.abs(np.diff(brightness, axis=0, prepend=brightness[:1]))
     gx = np.abs(np.diff(brightness, axis=1, prepend=brightness[:, :1]))
-    smooth = (gx + gy) < 0.03
+    grad = gx + gy
+    smooth = grad < 0.03
 
     cool = b - r  # daylight sky: >= ~0 (blue/grey/blown-white), walls: < 0
+    chroma = img.max(-1) - img.min(-1)
     candidate = (brightness > 0.60) & (cool > 0.015) & smooth
     # blown-out / white-overcast sky: all channels near saturation and
     # not warm-tinted
@@ -60,6 +74,33 @@ def segment_sky_heuristic(image: np.ndarray) -> np.ndarray:
         & (cool > -0.005)
         & smooth
     )
+    # sunset/sunrise: warm monotone grading with real chroma (graded skies
+    # are orange/pink; white indoor walls under warm light stay
+    # near-neutral).  Gated on a bright top quarter — at golden hour the
+    # sky IS the light source (measured top-quarter median brightness:
+    # outdoor sunset 0.73-0.76 vs warm indoor 0.31-0.46); the extent
+    # filter below carries the remaining wall rejection.
+    if np.median(brightness[: max(1, h // 4)]) > 0.55:
+        candidate |= (
+            (brightness > 0.40)
+            & (r >= g - 0.02)
+            & (g >= b - 0.02)
+            & (chroma > 0.10)
+            & smooth
+        )
+    # night: only in globally dark frames — dark, very smooth, blue-cast,
+    # and only in the top 60% of the frame (dark ground chains to the sky
+    # through the connected-component stage otherwise, and the extent
+    # filter would then reject the whole merged component)
+    if np.median(brightness) < 0.30:
+        night = (
+            (brightness > 0.01)
+            & (brightness < 0.35)
+            & (cool > 0.05)
+            & (grad < 0.025)
+        )
+        night[int(0.6 * h):] = False
+        candidate |= night
 
     # close 1-2 px gaps (wires, antennas) so sky stays one component and
     # the thin-structure shadows don't punch holes in the mask
@@ -88,7 +129,16 @@ def segment_sky_heuristic(image: np.ndarray) -> np.ndarray:
     labels = labels[0]
     top_labels = np.unique(labels[: max(1, h // 4)])
     top_labels = top_labels[top_labels > 0]
-    sky = np.isin(labels, top_labels)
+    # vertical-extent filter: sky sits above the skyline; components whose
+    # mass reaches into the bottom fifth are walls/ceilings, not sky
+    bottom = labels[int(0.8 * h):]
+    keep_labels = []
+    for lab in top_labels:
+        mass = int((labels == lab).sum())
+        below = int((bottom == lab).sum())
+        if below <= 0.02 * mass:
+            keep_labels.append(lab)
+    sky = np.isin(labels, np.asarray(keep_labels, labels.dtype))
     return np.where(sky, 0, 255).astype(np.uint8)
 
 

@@ -189,21 +189,48 @@ def test_sky_heuristic_golden_floors():
         "demo7__sample_06_frame_72.png":
             "demo7/images/sample_06_frame_72.jpg",
     }
-    recalls, fp_rates = [], []
-    for golden_name, rel in rels.items():
-        golden = np.asarray(
-            PIL.Image.open(os.path.join(golden_dir, golden_name))
-        )
-        img = np.asarray(
-            PIL.Image.open(os.path.join(demo, rel)).convert("RGB")
-        )
-        pred_sky = segment_sky_heuristic(img) == 0
-        gt_sky, gt_non = golden == 0, golden == 255
-        if gt_sky.any():
-            recalls.append((pred_sky & gt_sky).sum() / gt_sky.sum())
-        fp_rates.append((pred_sky & gt_non).sum() / gt_non.sum())
-    assert np.mean(recalls) > 0.85, f"sky recall regressed: {recalls}"
-    assert np.mean(fp_rates) < 0.03, f"sky FP rate regressed: {fp_rates}"
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "measure_sky",
+        os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                     "measure_sky.py"),
+    )
+    measure_sky = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(measure_sky)
+
+    # floors per photometric variant (benchmarks/sky_deltas.json): the
+    # round-4 sunset/night branches must keep working, and the original
+    # frames must not regress below the round-3 numbers.  FP floors are
+    # looser on the variants — demo5's cool bright walls under night/
+    # overcast grading are the documented irreducible bait.
+    floors = {
+        "orig": (0.90, 0.03),
+        "sunset": (0.90, 0.05),
+        "night": (0.90, 0.08),
+        "overcast": (0.90, 0.06),
+    }
+    for variant, tf in measure_sky.VARIANTS.items():
+        recalls, fp_rates = [], []
+        for golden_name, rel in rels.items():
+            golden = np.asarray(
+                PIL.Image.open(os.path.join(golden_dir, golden_name))
+            )
+            img = np.asarray(
+                PIL.Image.open(os.path.join(demo, rel)).convert("RGB")
+            )
+            if tf is not None:
+                img = tf(img)
+            pred_sky = segment_sky_heuristic(img) == 0
+            gt_sky, gt_non = golden == 0, golden == 255
+            if gt_sky.any():
+                recalls.append((pred_sky & gt_sky).sum() / gt_sky.sum())
+            fp_rates.append((pred_sky & gt_non).sum() / gt_non.sum())
+        min_recall, max_fp = floors[variant]
+        assert np.mean(recalls) > min_recall, (
+            f"{variant} sky recall regressed: {recalls}")
+        assert np.mean(fp_rates) < max_fp, (
+            f"{variant} sky FP rate regressed: {fp_rates}")
 
 
 def test_depth_visualizations_full_set(tmp_path):
