@@ -161,8 +161,21 @@ def _host_subsample(flat, budget=BUDGET, seed=0, eps=None, ms=None, mcs=None,
     return all_labels
 
 
+def _production_host(flat):
+    """The real host pipeline (`_cluster_mv_host`), incl. any refinement
+    passes wired into ops/cluster.py — the policy that actually ships."""
+    from iggt_official_tpu.ops.cluster import _cluster_mv_host
+
+    M = flat.shape[0]
+    return _cluster_mv_host(
+        flat, 1, 1, M, PRESET["eps"], PRESET["min_samples"],
+        PRESET["min_cluster_size"], BUDGET, False,
+    ).reshape(-1)
+
+
 POLICIES = {
     "current": lambda flat: _host_subsample(flat),
+    "production": _production_host,
     "seed1": lambda flat: _host_subsample(flat, seed=1),
     "seed2": lambda flat: _host_subsample(flat, seed=2),
     "budget300k": lambda flat: _host_subsample(flat, budget=300_000),

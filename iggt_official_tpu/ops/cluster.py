@@ -579,6 +579,343 @@ def _labels_from_mst(
     return labels
 
 
+def _boundary_merge_full_density(
+    flat,
+    pts: np.ndarray,
+    labels: np.ndarray,
+    j_all,
+    eps: float,
+    min_samples: int,
+    min_cluster_size: int = 0,
+    margin: float = 2.0,
+    cap: int = 250_000,
+) -> np.ndarray:
+    """Full-density merge refinement for subsampled clustering.
+
+    Node-thinning systematically INFLATES minimax (bottleneck) distances:
+    removing points from a 1-D feature-space bridge stretches the largest
+    step along every path through it, so a cluster pair the full-density
+    algorithm merges under ``cluster_selection_epsilon`` (separation just
+    below eps) stays split in the thinned graph regardless of seed or
+    budget (measured: demo7 splits 4-vs-3 at budgets 150k AND 300k and
+    across seeds, `benchmarks/subsample_policy_lab.py`).
+
+    This pass re-tests exactly those decisions at full density: for every
+    cluster pair whose thinned-graph separation is below ``margin * eps``,
+    take the full-resolution points assigned (via the existing 1-NN
+    backfill map ``j_all``) to subsample points near the pair boundary,
+    build their mutual-reachability kNN graph with the UNSCALED
+    ``min_samples``, and union the pair's labels if the two sides are
+    connected by edges of reachability <= eps.
+
+    Soundness (one-sided): the boundary subset is a subset of the full
+    point set, so its mutual-reachability distances dominate the full
+    graph's; eps-connectivity here implies eps-connectivity at full
+    density, where the Malzer-Baum epsilon rule would have kept the pair
+    in one cluster (`_labels_from_mst`).  The pass therefore only
+    restores merges the exact algorithm makes — it cannot over-merge
+    (a missed long-way-around path merely leaves the conservative split
+    in place).  Validated against `exact=True` in
+    `benchmarks/exact_clustering_deltas.json`.
+
+    flat: (M, C) full features (numpy or device array); pts: (K, C)
+    subsample; labels: (K,) subsample labels (noise already reassigned);
+    j_all: (M,) 1-NN map full -> subsample.  Returns the (K,) labels with
+    merged ids (a relabelled copy when merges happen).
+    """
+    uniq = np.unique(labels)
+    uniq = uniq[uniq >= 0]
+    if len(uniq) < 2 or min_samples + 1 > pts.shape[0]:
+        return labels
+
+    def knn_fast(x, k):
+        # approx device blocks when available (0.35 s at 150k/k=64 on
+        # v5e, PERF.md) — a missed neighbour only drops a reachability
+        # edge, which keeps this pass conservative
+        if x.shape[0] ** 2 >= 4_000_000 and _accelerator_available():
+            from iggt_official_tpu.ops.knn import brute_knn
+
+            return brute_knn(x, x, k, approx=True)
+        return _knn(np.asarray(x), k)
+
+    # --- candidate pairs: thinned-graph cross-cluster proximity --------
+    k_probe = min(64, pts.shape[0])
+    dist, idx = knn_fast(pts, k_probe)
+    dist, idx = np.asarray(dist), np.asarray(idx)
+    nbr_lab = labels[idx]                       # (K, k)
+    cross = nbr_lab != labels[:, None]
+    near = cross & (np.asarray(dist) <= margin * eps)
+    seed_mask = near.any(axis=1)
+    if not seed_mask.any():
+        return labels
+    pairs = set()
+    rows, cols = np.nonzero(near)
+    for r, c in zip(rows.tolist(), cols.tolist()):
+        a, b = int(labels[r]), int(nbr_lab[r, c])
+        pairs.add((min(a, b), max(a, b)))
+
+    # --- boundary subset at full density --------------------------------
+    lab_uf = _UnionFind(int(uniq.max()) + 1)
+
+    # --- part 1: sub-eps connectivity at full density --------------------
+    j_all = np.asarray(j_all)
+    member = seed_mask[j_all]
+    sel = np.flatnonzero(member)
+    if sel.size > cap:
+        sel = np.random.default_rng(0).choice(sel, cap, replace=False)
+    if sel.size >= min_samples + 1:
+        sub = np.asarray(flat[sel], np.float32)
+        sub_lab = labels[j_all[sel]]
+
+        k_local = min(min_samples + 1, sub.shape[0])
+        d_loc, i_loc = knn_fast(sub, k_local)
+        d_loc = np.asarray(d_loc)
+        i_loc = np.asarray(i_loc)
+        core = d_loc[:, min(min_samples, k_local) - 1]
+
+        n = sub.shape[0]
+        src = np.repeat(np.arange(n, dtype=np.int32), k_local)
+        dst = i_loc.reshape(-1).astype(np.int32)
+        mreach = np.maximum(
+            d_loc.reshape(-1), np.maximum(core[src], core[dst])
+        )
+        ok = (mreach <= eps) & (src != dst)
+        if ok.any():
+            from scipy.sparse import coo_matrix
+            from scipy.sparse.csgraph import connected_components
+
+            graph = coo_matrix(
+                (np.ones(int(ok.sum()), np.int8), (src[ok], dst[ok])),
+                shape=(n, n),
+            )
+            _, comp = connected_components(graph, directed=False)
+            # endpoint certification: the 1-NN backfill labels are not
+            # trustworthy near boundaries — a background pixel backfilled
+            # as cluster ``a`` is eps-connected through the (dense)
+            # background to one backfilled as ``b``, which would union
+            # a/b on a path that never visits either cluster (measured:
+            # demo9's part-2 analogue folded 2 real clusters this way).
+            # A point certifies for its label iff >= 90% of its local
+            # kNN share it; intermediaries stay unrestricted (the path
+            # itself is real geometry either way).
+            purity = (sub_lab[i_loc] == sub_lab[:, None]).mean(axis=1)
+            cert = purity >= 0.9
+            for a, b in pairs:
+                # connected at <= eps iff a component holds both labels
+                in_a = np.unique(comp[(sub_lab == a) & cert])
+                in_b = np.unique(comp[(sub_lab == b) & cert])
+                if np.intersect1d(in_a, in_b, assume_unique=True).size:
+                    lab_uf.union(a, b)
+
+    # --- part 2: condensed-node viability of small clusters -------------
+    _small_cluster_viability_merges(
+        flat, labels, j_all, pairs, lab_uf, eps, min_samples,
+        min_cluster_size,
+    )
+
+    roots = np.array([lab_uf.find(int(u)) for u in uniq])
+    if np.all(roots == uniq):
+        return labels
+    remap = np.full(int(uniq.max()) + 1, -1, np.int64)
+    remap[uniq] = roots
+    # compact to 0..n-1 like the labelling stage does
+    kept = np.unique(roots)
+    compact = np.full(int(kept.max()) + 1, -1, np.int64)
+    compact[kept] = np.arange(len(kept))
+    out = labels.copy()
+    pos = labels >= 0
+    out[pos] = compact[remap[labels[pos]]]
+    return out
+
+
+def _knn_query_vs(ref, query: np.ndarray, k: int):
+    """(dist, idx) of the k nearest ``ref`` rows per query row, exact.
+
+    Device brute blocks when available (small-Q x large-R is cheap on the
+    MXU), else sklearn on the host."""
+    if _accelerator_available():
+        from iggt_official_tpu.ops.knn import brute_knn
+
+        return brute_knn(ref, query, k)
+    from sklearn.neighbors import NearestNeighbors
+
+    nn = NearestNeighbors(n_neighbors=k).fit(np.asarray(ref))
+    return nn.kneighbors(query)
+
+
+def _small_cluster_viability_merges(
+    flat,
+    labels: np.ndarray,
+    j_all: np.ndarray,
+    pairs,
+    lab_uf: "_UnionFind",
+    eps: float,
+    min_samples: int,
+    min_cluster_size: int,
+    small_cap_ratio: int = 8,
+) -> None:
+    """Full-density condensed-node viability test for small clusters.
+
+    The second thinning bias (after bottleneck inflation): when a small
+    blob meets a big cluster in the dendrogram, the exact algorithm keeps
+    it as its own cluster only if the blob-side SUBTREE — every point
+    connected to it strictly below the merge height — reaches
+    ``min_cluster_size`` total mass (`_labels_from_mst` big_l/big_r);
+    otherwise its points fall out into the neighbour's condensed node.
+    The subsampled run makes this decision on the thinned graph, whose
+    inflated saddles systematically let sparse blobs separate (measured:
+    demo7's 2454-px blob, junction cores 0.063-0.073 vs full
+    min_cluster_size 500, `benchmarks/subsample_policy_lab.py`).
+
+    This pass replays the decision at full density for every candidate
+    pair with a small side, as a LOCAL single-linkage growth: over the
+    kNN mutual-reachability graph of the blob's full-resolution
+    neighbourhood (blob points + their k nearest, UNSCALED min_samples
+    cores), sweep the linkage threshold upward and watch the component(s)
+    containing blob points.  If a blob component reaches
+    ``min_cluster_size`` mass while still separate from the big
+    cluster's interior, the blob is viable — keep the split.  If it
+    touches the big cluster's interior first, its subtree was below
+    min_cluster_size at the merge — fold it in.  Interior means big-
+    labelled points whose own kNN is >= 90% big-labelled (1-NN backfill
+    labels near the junction are not trustworthy).  The neighbourhood is
+    one kNN hop, which can only UNDER-count the subtree (missing late
+    accretions keeps splits in place) — conservative in the same
+    direction as part 1.  Merges are recorded into ``lab_uf``.
+    """
+    if not min_cluster_size:
+        return
+    full_labels = labels[j_all]
+    sizes = np.bincount(
+        full_labels[full_labels >= 0],
+        minlength=int(labels.max()) + 1,
+    )
+    k = min_samples + 1
+    if k > full_labels.shape[0]:
+        return
+    for a, b in sorted(pairs):
+        s, big = (a, b) if sizes[a] <= sizes[b] else (b, a)
+        if lab_uf.find(s) == lab_uf.find(big):
+            continue
+        if sizes[s] < min_cluster_size:
+            # below the full-density min_cluster_size the condensed tree
+            # can never select it — the split is a pure thinning artifact
+            lab_uf.union(s, big)
+            continue
+        if not sizes[s] < small_cap_ratio * min_cluster_size:
+            continue
+        if sizes[s] > 20_000:
+            continue
+        s_idx = np.flatnonzero(full_labels == s)
+        d_s, i_s = _knn_query_vs(flat, np.asarray(flat[s_idx], np.float32), k)
+        i_s = np.asarray(i_s)
+        if not (full_labels[i_s] == big).any():
+            continue
+
+        # one-hop neighbourhood of the blob at full resolution
+        L_ids = np.unique(np.concatenate([s_idx, i_s.reshape(-1)]))
+        dL, iL = _knn_query_vs(flat, np.asarray(flat[L_ids], np.float32), k)
+        dL = np.asarray(dL)
+        iL = np.asarray(iL)
+        coreL = dL[:, min_samples - 1]
+        lab_L = full_labels[L_ids]
+        # both memberships are certified by full-density neighbour purity:
+        # the 1-NN backfill labels a ring of true-``big`` pixels as ``s``
+        # around every blob, and an uncertified ``is_s`` seeds the sweep
+        # with points sitting in the big cluster's dense component — which
+        # "touches" big interior at a tiny threshold and folds viable
+        # blobs (measured on demo9: 2 real clusters lost,
+        # `benchmarks/diag_demo9_merge.py`).
+        s_frac = (full_labels[iL] == s).mean(axis=1)
+        is_s = (lab_L == s) & (s_frac >= 0.9)
+        big_frac = (full_labels[iL] == big).mean(axis=1)
+        is_big_int = (lab_L == big) & (big_frac >= 0.9)
+        if not is_big_int.any() or not is_s.any():
+            continue
+
+        # local mreach edges (within the neighbourhood)
+        nL = L_ids.shape[0]
+        loc = np.full(int(full_labels.shape[0]), -1, np.int32)
+        loc[L_ids] = np.arange(nL, dtype=np.int32)
+        src = np.repeat(np.arange(nL, dtype=np.int32), k)
+        dst = loc[iL.reshape(-1)]
+        w = np.maximum(dL.reshape(-1), coreL[src])
+        ok = dst >= 0
+        w = np.where(ok, np.maximum(w, coreL[np.where(ok, dst, 0)]), np.inf)
+        ok &= (src != dst) & np.isfinite(w)
+        src, dst, w = src[ok], dst[ok], w[ok]
+
+        merge_verdict = _grow_until_viable_or_touch(
+            nL, src, dst, w, is_s, is_big_int, min_cluster_size
+        )
+        if merge_verdict:
+            lab_uf.union(s, big)
+
+
+def _grow_until_viable_or_touch(
+    n: int,
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    is_s: np.ndarray,
+    is_big: np.ndarray,
+    min_cluster_size: int,
+    levels: int = 24,
+) -> bool:
+    """Single-linkage threshold sweep: True = fold the blob (it touches
+    the big cluster's interior before any blob component reaches
+    ``min_cluster_size`` mass), False = keep the split.
+
+    Uses scipy connected components per threshold level (C speed) instead
+    of a per-edge Kruskal loop; the grid brackets the two event heights
+    and refines only if they land in the same cell.
+    """
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    def state_at(t: float):
+        sel = w <= t
+        graph = coo_matrix(
+            (np.ones(int(sel.sum()), np.int8), (src[sel], dst[sel])),
+            shape=(n, n),
+        )
+        _, comp = connected_components(graph, directed=False)
+        s_comps = np.unique(comp[is_s])
+        in_s = np.isin(comp, s_comps)
+        touch = bool(np.logical_and(in_s, is_big).any())
+        mass = int(np.bincount(comp[in_s]).max()) if in_s.any() else 0
+        return touch, mass
+
+    finite = w[np.isfinite(w)]
+    if finite.size == 0:
+        return False
+    ts = np.quantile(finite, np.linspace(0.0, 1.0, levels))
+    prev_t = 0.0
+    for t in ts:
+        touch, mass = state_at(float(t))
+        if touch and mass >= min_cluster_size:
+            # both events inside (prev_t, t]: bisect to order them
+            lo, hi = prev_t, float(t)
+            for _ in range(12):
+                mid = 0.5 * (lo + hi)
+                tch, m = state_at(mid)
+                if tch and m >= min_cluster_size:
+                    hi = mid
+                elif not tch and m < min_cluster_size:
+                    lo = mid
+                elif tch:          # touched while below mass: fold
+                    return True
+                else:              # viable while separate: keep
+                    return False
+            return True            # unresolved: the blob dies with the merge
+        if touch:
+            return True
+        if mass >= min_cluster_size:
+            return False
+        prev_t = float(t)
+    return False
+
+
 def _cluster_mv_device(
     flat_dev,
     n: int,
@@ -640,13 +977,13 @@ def _cluster_mv_device(
 
     if sample_idx is None:
         return labels.reshape(n, h, w)
-    all_labels = np.empty(M, np.int64)
-    all_labels[sample_idx] = labels
-    rest = np.ones(M, bool)
-    rest[sample_idx] = False
-    j_all = np.asarray(nn1_pallas(flat_dev, pts_dev))
-    all_labels[rest] = labels[j_all[rest]]
-    return all_labels.reshape(n, h, w)
+    j_all = np.asarray(nn1_pallas(flat_dev, pts_dev)).astype(np.int64)
+    j_all[sample_idx] = np.arange(pts_dev.shape[0])
+    labels = _boundary_merge_full_density(
+        flat_dev, pts_dev, labels, j_all, eps, min_samples,
+        min_cluster_size,
+    )
+    return labels[j_all].reshape(n, h, w)
 
 
 def _cluster_mv_host(
@@ -689,12 +1026,15 @@ def _cluster_mv_host(
 
     if sample_idx is None:
         return labels.reshape(n, h, w)
-    all_labels = np.empty(M, np.int64)
-    all_labels[sample_idx] = labels
+    j_all = np.empty(M, np.int64)
+    j_all[sample_idx] = np.arange(pts.shape[0])
     rest = np.ones(M, bool)
     rest[sample_idx] = False
-    all_labels[rest] = labels[_nn1(pts, flat[rest])]
-    return all_labels.reshape(n, h, w)
+    j_all[rest] = _nn1(pts, flat[rest])
+    labels = _boundary_merge_full_density(
+        flat, pts, labels, j_all, eps, min_samples, min_cluster_size
+    )
+    return labels[j_all].reshape(n, h, w)
 
 
 def cluster_features_to_masks_mv(
