@@ -24,9 +24,18 @@ raw pixels is measured in tests/test_cluster_fidelity.py
 
 from __future__ import annotations
 
+import os
+import time
 from typing import Dict, Optional, Tuple, Union
 
 import numpy as np
+
+
+def _debug_t(label: str, t0: float) -> None:
+    """Phase timing for the refinement pass (IGGT_DEBUG_TIMING=1)."""
+    if os.environ.get("IGGT_DEBUG_TIMING"):
+        print(f"[refine] {label}: {time.perf_counter()-t0:.2f}s",
+              flush=True)
 
 
 def _accelerator_available() -> bool:
@@ -331,6 +340,7 @@ def weighted_hdbscan(
     min_cluster_size: int,
     allow_single_cluster: bool = False,
     approx_ok: bool = False,
+    return_mst: bool = False,
 ) -> np.ndarray:
     """HDBSCAN(cluster_selection_epsilon=eps) over weighted points.
 
@@ -347,10 +357,18 @@ def weighted_hdbscan(
     reachability weight — the same failure direction as the kNN-graph
     truncation both paths already accept; end-to-end fidelity vs the
     exact host path is measured in PERF.md.
+
+    ``return_mst=True`` returns ``(labels, (edge_a, edge_b, edge_d))`` —
+    the mutual-reachability MST the labels were condensed from, which the
+    subsample refinement pass uses to gate cluster-pair candidates by
+    their dendrogram merge heights (`_mst_candidate_pairs`).
     """
     K = points.shape[0]
     if K == 1:
-        return np.zeros(1, np.int64) if weights[0] >= min_cluster_size else np.full(1, -1, np.int64)
+        labels = (np.zeros(1, np.int64) if weights[0] >= min_cluster_size
+                  else np.full(1, -1, np.int64))
+        empty = np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0)
+        return (labels, empty) if return_mst else labels
 
     if (
         approx_ok
@@ -369,20 +387,28 @@ def weighted_hdbscan(
         edge_a, edge_b, edge_d, core = mreach_mst_device(
             d_dev, i_dev, min_samples
         )
-        return _labels_from_edges(
+        labels = _labels_from_edges(
             edge_a, edge_b, edge_d, weights, core,
             eps, min_cluster_size, allow_single_cluster,
         )
+        if return_mst:
+            return labels, (np.asarray(edge_a), np.asarray(edge_b),
+                            np.asarray(edge_d))
+        return labels
 
     points = np.asarray(points)
     core, knn_dist, knn_idx = _weighted_core_distances(
         points, weights, min_samples
     )
     edge_a, edge_b, edge_d = _mreach_mst(core, knn_dist, knn_idx)
-    return _labels_from_edges(
+    labels = _labels_from_edges(
         edge_a, edge_b, edge_d, weights, core,
         eps, min_cluster_size, allow_single_cluster,
     )
+    if return_mst:
+        return labels, (np.asarray(edge_a), np.asarray(edge_b),
+                        np.asarray(edge_d))
+    return labels
 
 
 def _labels_from_mst(
@@ -579,6 +605,46 @@ def _labels_from_mst(
     return labels
 
 
+def _mst_candidate_pairs(mst, labels: np.ndarray, thresh: float):
+    """Cluster pairs whose thinned-graph dendrogram merge height is
+    <= ``thresh``: connected components of the MST restricted to edges
+    <= thresh; every cross-label pair co-resident in a component merges
+    at or below thresh.  Thinning only INFLATES merge heights (removing
+    points stretches every path bottleneck and grows cores), so a pair
+    separated by more than ``thresh = margin*eps`` in the thinned graph
+    is separated by more than eps at full density with margin to spare —
+    refinement can skip it, and scenes with no near-eps pairs skip the
+    whole full-density pass (the p50-critical case)."""
+    edge_a, edge_b, edge_d = mst
+    sel = np.asarray(edge_d) <= thresh
+    if not sel.any():
+        return set()
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    K = labels.shape[0]
+    graph = coo_matrix(
+        (np.ones(int(sel.sum()), np.int8),
+         (np.asarray(edge_a)[sel], np.asarray(edge_b)[sel])),
+        shape=(K, K),
+    )
+    _, comp = connected_components(graph, directed=False)
+    pairs = set()
+    # components holding >1 final label contribute all their cross pairs
+    order = np.argsort(comp, kind="stable")
+    comp_s, lab_s = comp[order], labels[order]
+    starts = np.flatnonzero(np.r_[True, np.diff(comp_s) != 0])
+    for i, s in enumerate(starts):
+        e = starts[i + 1] if i + 1 < len(starts) else len(comp_s)
+        labs = np.unique(lab_s[s:e])
+        labs = labs[labs >= 0]
+        if len(labs) > 1:
+            for x in range(len(labs)):
+                for y in range(x + 1, len(labs)):
+                    pairs.add((int(labs[x]), int(labs[y])))
+    return pairs
+
+
 def _boundary_merge_full_density(
     flat,
     pts: np.ndarray,
@@ -589,6 +655,7 @@ def _boundary_merge_full_density(
     min_cluster_size: int = 0,
     margin: float = 2.0,
     cap: int = 250_000,
+    mst=None,
 ) -> np.ndarray:
     """Full-density merge refinement for subsampled clustering.
 
@@ -615,7 +682,20 @@ def _boundary_merge_full_density(
     in one cluster (`_labels_from_mst`).  The pass therefore only
     restores merges the exact algorithm makes — it cannot over-merge
     (a missed long-way-around path merely leaves the conservative split
-    in place).  Validated against `exact=True` in
+    in place).  Two guards make the one-sidedness hold in practice:
+
+    - endpoint certification: connectivity endpoints (and part 2's seed
+      sets) only admit points whose local kNN is >= 90% same-labelled —
+      the 1-NN backfill labels a ring of neighbour-cluster pixels around
+      every cluster, and uncertified endpoints let paths through that
+      ring union clusters the path never visits;
+    - the ``mst`` gate (`_mst_candidate_pairs`): candidate pairs come
+      from the thinned MST's own merge heights when the caller passes
+      the MST, so scenes whose pairs all merge above ``margin*eps``
+      skip the full-density pass entirely (latency-critical: the
+      refinement is on the demo p50 path).
+
+    Validated against `exact=True` in
     `benchmarks/exact_clustering_deltas.json`.
 
     flat: (M, C) full features (numpy or device array); pts: (K, C)
@@ -638,26 +718,47 @@ def _boundary_merge_full_density(
             return brute_knn(x, x, k, approx=True)
         return _knn(np.asarray(x), k)
 
-    # --- candidate pairs: thinned-graph cross-cluster proximity --------
+    # --- candidate pairs ------------------------------------------------
+    # preferred source: the thinned MST's own merge heights
+    # (`_mst_candidate_pairs`) — exact, and free when the clustering
+    # already ran; a scene whose pairs all merge above margin*eps skips
+    # every full-density phase below, including the kNN probe.
+    t0 = time.perf_counter()
+    if mst is not None:
+        pairs = _mst_candidate_pairs(mst, labels, margin * eps)
+        if not pairs:
+            return labels
+    # boundary seeds (and, without an MST, the pairs too) come from a
+    # cross-cluster proximity probe over the subsample
     k_probe = min(64, pts.shape[0])
     dist, idx = knn_fast(pts, k_probe)
     dist, idx = np.asarray(dist), np.asarray(idx)
     nbr_lab = labels[idx]                       # (K, k)
     cross = nbr_lab != labels[:, None]
     near = cross & (np.asarray(dist) <= margin * eps)
+    if mst is not None:
+        # seeds restricted to candidate-pair boundaries
+        in_pair = np.zeros(
+            (int(uniq.max()) + 1, int(uniq.max()) + 1), bool)
+        for a, b in pairs:
+            in_pair[a, b] = in_pair[b, a] = True
+        near &= in_pair[labels[:, None], nbr_lab]
     seed_mask = near.any(axis=1)
     if not seed_mask.any():
         return labels
-    pairs = set()
-    rows, cols = np.nonzero(near)
-    for r, c in zip(rows.tolist(), cols.tolist()):
-        a, b = int(labels[r]), int(nbr_lab[r, c])
-        pairs.add((min(a, b), max(a, b)))
+    if mst is None:
+        pairs = set()
+        rows, cols = np.nonzero(near)
+        for r, c in zip(rows.tolist(), cols.tolist()):
+            a, b = int(labels[r]), int(nbr_lab[r, c])
+            pairs.add((min(a, b), max(a, b)))
+    _debug_t("candidates+probe", t0)
 
     # --- boundary subset at full density --------------------------------
     lab_uf = _UnionFind(int(uniq.max()) + 1)
 
     # --- part 1: sub-eps connectivity at full density --------------------
+    t0 = time.perf_counter()
     j_all = np.asarray(j_all)
     member = seed_mask[j_all]
     sel = np.flatnonzero(member)
@@ -707,11 +808,15 @@ def _boundary_merge_full_density(
                 if np.intersect1d(in_a, in_b, assume_unique=True).size:
                     lab_uf.union(a, b)
 
+    _debug_t("part1", t0)
+
     # --- part 2: condensed-node viability of small clusters -------------
+    t0 = time.perf_counter()
     _small_cluster_viability_merges(
         flat, labels, j_all, pairs, lab_uf, eps, min_samples,
         min_cluster_size,
     )
+    _debug_t("part2", t0)
 
     roots = np.array([lab_uf.find(int(u)) for u in uniq])
     if np.all(roots == uniq):
@@ -860,59 +965,51 @@ def _grow_until_viable_or_touch(
     is_s: np.ndarray,
     is_big: np.ndarray,
     min_cluster_size: int,
-    levels: int = 24,
 ) -> bool:
-    """Single-linkage threshold sweep: True = fold the blob (it touches
-    the big cluster's interior before any blob component reaches
-    ``min_cluster_size`` mass), False = keep the split.
+    """Single-linkage event sweep: True = fold the blob (an s-seeded
+    component touches the big cluster's interior before any s-seeded
+    component reaches ``min_cluster_size`` mass), False = keep the split.
 
-    Uses scipy connected components per threshold level (C speed) instead
-    of a per-edge Kruskal loop; the grid brackets the two event heights
-    and refines only if they land in the same cell.
+    Exact Kruskal: edges ascend in weight through a union-find carrying
+    (mass, has_s, has_big) per root; the first event decides — no grid,
+    no bisection.  Within one edge both events can land together (the
+    union brings a big-interior node AND crosses the mass bar); touch
+    wins, matching the exact algorithm where the subtree dies at the
+    merge height it reaches the neighbour.
     """
-    from scipy.sparse import coo_matrix
-    from scipy.sparse.csgraph import connected_components
-
-    def state_at(t: float):
-        sel = w <= t
-        graph = coo_matrix(
-            (np.ones(int(sel.sum()), np.int8), (src[sel], dst[sel])),
-            shape=(n, n),
-        )
-        _, comp = connected_components(graph, directed=False)
-        s_comps = np.unique(comp[is_s])
-        in_s = np.isin(comp, s_comps)
-        touch = bool(np.logical_and(in_s, is_big).any())
-        mass = int(np.bincount(comp[in_s]).max()) if in_s.any() else 0
-        return touch, mass
-
-    finite = w[np.isfinite(w)]
-    if finite.size == 0:
+    finite = np.isfinite(w)
+    src, dst, w = src[finite], dst[finite], w[finite]
+    if w.size == 0:
         return False
-    ts = np.quantile(finite, np.linspace(0.0, 1.0, levels))
-    prev_t = 0.0
-    for t in ts:
-        touch, mass = state_at(float(t))
-        if touch and mass >= min_cluster_size:
-            # both events inside (prev_t, t]: bisect to order them
-            lo, hi = prev_t, float(t)
-            for _ in range(12):
-                mid = 0.5 * (lo + hi)
-                tch, m = state_at(mid)
-                if tch and m >= min_cluster_size:
-                    hi = mid
-                elif not tch and m < min_cluster_size:
-                    lo = mid
-                elif tch:          # touched while below mass: fold
-                    return True
-                else:              # viable while separate: keep
-                    return False
-            return True            # unresolved: the blob dies with the merge
-        if touch:
-            return True
-        if mass >= min_cluster_size:
-            return False
-        prev_t = float(t)
+    order = np.argsort(w, kind="stable")
+    src, dst = src[order].tolist(), dst[order].tolist()
+
+    parent = list(range(n))
+    mass = [1] * n
+    has_s = is_s.tolist()
+    has_big = is_big.tolist()
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src, dst):
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if mass[ra] < mass[rb]:
+            ra, rb = rb, ra
+        parent[rb] = ra
+        mass[ra] += mass[rb]
+        hs = has_s[ra] or has_s[rb]
+        hb = has_big[ra] or has_big[rb]
+        has_s[ra], has_big[ra] = hs, hb
+        if hs and hb:
+            return True                     # touch first: fold
+        if hs and mass[ra] >= min_cluster_size:
+            return False                    # viable first: keep
     return False
 
 
@@ -959,8 +1056,8 @@ def _cluster_mv_device(
         ms, mcs = min_samples, min_cluster_size
     weights = np.ones(pts_dev.shape[0], np.float64)
 
-    labels = weighted_hdbscan(
-        pts_dev, weights, eps, ms, mcs, approx_ok=True
+    labels, mst = weighted_hdbscan(
+        pts_dev, weights, eps, ms, mcs, approx_ok=True, return_mst=True
     )
 
     # noise -> 1-NN clustered pixel (`misc.py:135-148`)
@@ -981,7 +1078,7 @@ def _cluster_mv_device(
     j_all[sample_idx] = np.arange(pts_dev.shape[0])
     labels = _boundary_merge_full_density(
         flat_dev, pts_dev, labels, j_all, eps, min_samples,
-        min_cluster_size,
+        min_cluster_size, mst=mst,
     )
     return labels[j_all].reshape(n, h, w)
 
@@ -1013,8 +1110,8 @@ def _cluster_mv_host(
         ms, mcs = min_samples, min_cluster_size
     weights = np.ones(pts.shape[0], np.float64)
 
-    labels = weighted_hdbscan(
-        pts, weights, eps, ms, mcs, approx_ok=not exact
+    labels, mst = weighted_hdbscan(
+        pts, weights, eps, ms, mcs, approx_ok=not exact, return_mst=True
     )
 
     # noise -> 1-NN clustered pixel (`misc.py:135-148`)
@@ -1032,7 +1129,8 @@ def _cluster_mv_host(
     rest[sample_idx] = False
     j_all[rest] = _nn1(pts, flat[rest])
     labels = _boundary_merge_full_density(
-        flat, pts, labels, j_all, eps, min_samples, min_cluster_size
+        flat, pts, labels, j_all, eps, min_samples, min_cluster_size,
+        mst=mst,
     )
     return labels[j_all].reshape(n, h, w)
 

@@ -129,6 +129,48 @@ def test_sweep_keeps_mass_before_touch():
         n, src, dst, w, is_s, is_big, min_cluster_size=3)
 
 
+def test_mst_gate_short_circuits():
+    """With MST edges provided, a pair whose thinned merge height exceeds
+    margin*eps is never re-tested — labels return unchanged even when the
+    full-density geometry holds a sub-eps bridge (thinning only inflates
+    merge heights, so a high thinned saddle certifies a high true saddle;
+    the bridge here is synthetic contradiction to prove the short-circuit,
+    not a reachable state)."""
+    rng = np.random.default_rng(6)
+    a = _ball(rng, (0.0, 0.0), 2000, 0.15)
+    b = _ball(rng, (0.5, 0.0), 2000, 0.15)
+    tx = np.linspace(0.12, 0.38, 400)
+    bridge = np.stack([tx, rng.normal(0, 0.004, 400)], 1)
+    flat = np.concatenate([a, bridge, b])
+    keep = np.concatenate([
+        np.arange(0, 2000, 4), np.arange(2000, 2400, 40),
+        np.arange(2400, 4400, 4)])
+    pts = flat[keep]
+    labels = (flat[keep, 0] > 0.25).astype(np.int64)
+    # hand-built MST: chains within each side, one cross edge at 0.2
+    K = len(keep)
+    left = np.flatnonzero(labels == 0)
+    right = np.flatnonzero(labels == 1)
+    edge_a = np.concatenate([left[:-1], right[:-1], [left[-1]]])
+    edge_b = np.concatenate([left[1:], right[1:], [right[0]]])
+    edge_d = np.concatenate([
+        np.full(len(left) - 1, 0.01), np.full(len(right) - 1, 0.01), [0.2]])
+    j_all = _nn1_map(pts, flat)
+    out = _boundary_merge_full_density(
+        flat.astype(np.float32), pts.astype(np.float32), labels, j_all,
+        EPS, MS, MCS, mst=(edge_a, edge_b, edge_d),
+    )
+    np.testing.assert_array_equal(out, labels)
+    # and with the true sub-eps cross edge, the gate admits the pair and
+    # the full-density pass restores the merge
+    edge_d[-1] = 0.07
+    out2 = _boundary_merge_full_density(
+        flat.astype(np.float32), pts.astype(np.float32), labels, j_all,
+        EPS, MS, MCS, mst=(edge_a, edge_b, edge_d),
+    )
+    assert len(np.unique(out2)) == 1
+
+
 def test_single_cluster_noop():
     rng = np.random.default_rng(4)
     flat = _ball(rng, (0.0, 0.0), 3000, 0.3)
