@@ -837,11 +837,26 @@ def _knn_query_vs(ref, query: np.ndarray, k: int):
     """(dist, idx) of the k nearest ``ref`` rows per query row, exact.
 
     Device brute blocks when available (small-Q x large-R is cheap on the
-    MXU), else sklearn on the host."""
+    MXU), else sklearn on the host.  Query counts are padded so the
+    per-dispatch block count is a power of two: the refinement calls this
+    with data-dependent blob/neighbourhood sizes, and every distinct
+    block count is a fresh XLA program through the (minutes-slow) remote
+    compile service — bucketing bounds the shape family to
+    log2(max blocks) programs per (ref size, k)."""
     if _accelerator_available():
         from iggt_official_tpu.ops.knn import brute_knn
 
-        return brute_knn(ref, query, k)
+        q = np.asarray(query, np.float32)
+        Q = q.shape[0]
+        block = 4096  # brute_knn's internal query block (single block =
+        # one shape already; only multi-block counts need bucketing)
+        n_blocks = -(-Q // block)
+        n_pow2 = 1 << max(0, n_blocks - 1).bit_length()
+        if n_blocks > 1 and n_pow2 * block > Q:
+            q = np.concatenate(
+                [q, np.repeat(q[:1], n_pow2 * block - Q, axis=0)])
+        d, i = brute_knn(ref, q, k)
+        return d[:Q], i[:Q]
     from sklearn.neighbors import NearestNeighbors
 
     nn = NearestNeighbors(n_neighbors=k).fit(np.asarray(ref))
@@ -913,12 +928,31 @@ def _small_cluster_viability_merges(
             continue
         s_idx = np.flatnonzero(full_labels == s)
         d_s, i_s = _knn_query_vs(flat, np.asarray(flat[s_idx], np.float32), k)
+        d_s = np.asarray(d_s)
         i_s = np.asarray(i_s)
         if not (full_labels[i_s] == big).any():
             continue
 
-        # one-hop neighbourhood of the blob at full resolution
-        L_ids = np.unique(np.concatenate([s_idx, i_s.reshape(-1)]))
+        # one-hop neighbourhood of the blob at full resolution, capped by
+        # keeping the CLOSEST non-blob neighbours: the mass event is
+        # driven by the blob's own points (always all included — a blob
+        # below min_cluster_size was folded unconditionally above), so
+        # truncating far neighbours can only drop distant touch paths,
+        # which biases toward keeping the split — the conservative
+        # direction.  Without the cap a 3.6k-px blob's one-hop set
+        # reaches ~300k ids and the kNN query over the 1M-px scene
+        # dominates the refinement (117 s measured on demo9).
+        nbr_cap = max(4 * s_idx.size, 30_000)
+        nbr = i_s.reshape(-1)
+        nbr_d = d_s.reshape(-1)
+        outside = ~np.isin(nbr, s_idx)
+        nbr, nbr_d = nbr[outside], nbr_d[outside]
+        uniq_n, inv = np.unique(nbr, return_inverse=True)
+        if uniq_n.size > nbr_cap:
+            min_d = np.full(uniq_n.size, np.inf)
+            np.minimum.at(min_d, inv, nbr_d)
+            uniq_n = uniq_n[np.argsort(min_d, kind="stable")[:nbr_cap]]
+        L_ids = np.unique(np.concatenate([s_idx, uniq_n]))
         dL, iL = _knn_query_vs(flat, np.asarray(flat[L_ids], np.float32), k)
         dL = np.asarray(dL)
         iL = np.asarray(iL)
