@@ -358,17 +358,21 @@ def weighted_hdbscan(
     truncation both paths already accept; end-to-end fidelity vs the
     exact host path is measured in PERF.md.
 
-    ``return_mst=True`` returns ``(labels, (edge_a, edge_b, edge_d))`` —
-    the mutual-reachability MST the labels were condensed from, which the
-    subsample refinement pass uses to gate cluster-pair candidates by
-    their dendrogram merge heights (`_mst_candidate_pairs`).
+    ``return_mst=True`` returns ``(labels, (edge_a, edge_b, edge_d),
+    (knn_dist, knn_idx))`` — the mutual-reachability MST the labels were
+    condensed from (gates the refinement's cluster-pair candidates,
+    `_mst_candidate_pairs`) and the kNN arrays it was built from
+    (device arrays on the accelerator path, numpy on the host path;
+    the refinement derives its boundary seeds from them instead of
+    re-probing — the probe's 77 MB dist/idx download was ~4 s of demo1
+    p50 through the tunnel).
     """
     K = points.shape[0]
     if K == 1:
         labels = (np.zeros(1, np.int64) if weights[0] >= min_cluster_size
                   else np.full(1, -1, np.int64))
         empty = np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0)
-        return (labels, empty) if return_mst else labels
+        return (labels, empty, None) if return_mst else labels
 
     if (
         approx_ok
@@ -377,23 +381,33 @@ def weighted_hdbscan(
         and bool(np.all(weights == 1))
         and _accelerator_available()
     ):
+        import jax
+
         from iggt_official_tpu.ops.cluster_device import mreach_mst_device
         from iggt_official_tpu.ops.knn import brute_knn
 
         k = min(K, max(64, min_samples + 1))
+        t0 = time.perf_counter()
         d_dev, i_dev = brute_knn(
             points, points, k, approx=True, out_device=True
         )
+        if os.environ.get("IGGT_DEBUG_TIMING"):
+            jax.block_until_ready(d_dev)
+        _debug_t("hdbscan/knn", t0)
+        t0 = time.perf_counter()
         edge_a, edge_b, edge_d, core = mreach_mst_device(
             d_dev, i_dev, min_samples
         )
+        _debug_t("hdbscan/mst", t0)
+        t0 = time.perf_counter()
         labels = _labels_from_edges(
             edge_a, edge_b, edge_d, weights, core,
             eps, min_cluster_size, allow_single_cluster,
         )
+        _debug_t("hdbscan/labels", t0)
         if return_mst:
             return labels, (np.asarray(edge_a), np.asarray(edge_b),
-                            np.asarray(edge_d))
+                            np.asarray(edge_d)), (d_dev, i_dev)
         return labels
 
     points = np.asarray(points)
@@ -407,7 +421,7 @@ def weighted_hdbscan(
     )
     if return_mst:
         return labels, (np.asarray(edge_a), np.asarray(edge_b),
-                        np.asarray(edge_d))
+                        np.asarray(edge_d)), (knn_dist, knn_idx)
     return labels
 
 
@@ -605,6 +619,45 @@ def _labels_from_mst(
     return labels
 
 
+def _seed_mask_from_knn(knn, labels: np.ndarray, in_pair: np.ndarray,
+                        thresh: float) -> np.ndarray:
+    """(K,) mask of subsample points with a candidate-pair cross-cluster
+    neighbour within ``thresh``, computed from the clustering's own kNN
+    arrays.  Device arrays run fused on the accelerator (one jit, only
+    the boolean mask downloaded); numpy arrays run in numpy."""
+    dist, idx = knn
+    if isinstance(dist, np.ndarray):
+        nbr_lab = labels[idx]
+        near = (nbr_lab != labels[:, None]) & (dist <= thresh)
+        near &= in_pair[labels[:, None], nbr_lab]
+        return near.any(axis=1)
+
+    import jax.numpy as jnp
+
+    return np.asarray(_get_seed_mask_jit()(
+        dist, idx, jnp.asarray(labels), jnp.asarray(in_pair),
+        jnp.float32(thresh),
+    ))
+
+
+def _seed_mask_jit_impl(d, i, lab, pair, thresh):
+    nbr = lab[i]
+    near = (nbr != lab[:, None]) & (d <= thresh)
+    near &= pair[lab[:, None], nbr]
+    return near.any(axis=1)
+
+
+_seed_mask_jit_cache: list = []
+
+
+def _get_seed_mask_jit():
+    if not _seed_mask_jit_cache:
+        import jax
+
+        _seed_mask_jit_cache.append(jax.jit(_seed_mask_jit_impl))
+    return _seed_mask_jit_cache[0]
+
+
 def _mst_candidate_pairs(mst, labels: np.ndarray, thresh: float):
     """Cluster pairs whose thinned-graph dendrogram merge height is
     <= ``thresh``: connected components of the MST restricted to edges
@@ -630,15 +683,19 @@ def _mst_candidate_pairs(mst, labels: np.ndarray, thresh: float):
     )
     _, comp = connected_components(graph, directed=False)
     pairs = set()
-    # components holding >1 final label contribute all their cross pairs
-    order = np.argsort(comp, kind="stable")
-    comp_s, lab_s = comp[order], labels[order]
-    starts = np.flatnonzero(np.r_[True, np.diff(comp_s) != 0])
-    for i, s in enumerate(starts):
-        e = starts[i + 1] if i + 1 < len(starts) else len(comp_s)
-        labs = np.unique(lab_s[s:e])
-        labs = labs[labs >= 0]
-        if len(labs) > 1:
+    # components holding >1 final label contribute all their cross pairs;
+    # unique (comp, label) rows collapse the scan to one pass over a few
+    # thousand entries instead of a python loop over every component
+    keep = labels >= 0
+    rows = np.unique(
+        np.stack([comp[keep], labels[keep]], axis=1), axis=0)
+    comp_u, lab_u = rows[:, 0], rows[:, 1]
+    starts = np.flatnonzero(np.r_[True, np.diff(comp_u) != 0])
+    bounds = np.r_[starts, len(comp_u)]
+    for i in range(len(starts)):
+        s, e = bounds[i], bounds[i + 1]
+        if e - s > 1:
+            labs = lab_u[s:e]
             for x in range(len(labs)):
                 for y in range(x + 1, len(labs)):
                     pairs.add((int(labs[x]), int(labs[y])))
@@ -656,6 +713,7 @@ def _boundary_merge_full_density(
     margin: float = 2.0,
     cap: int = 250_000,
     mst=None,
+    knn=None,
 ) -> np.ndarray:
     """Full-density merge refinement for subsampled clustering.
 
@@ -700,8 +758,10 @@ def _boundary_merge_full_density(
 
     flat: (M, C) full features (numpy or device array); pts: (K, C)
     subsample; labels: (K,) subsample labels (noise already reassigned);
-    j_all: (M,) 1-NN map full -> subsample.  Returns the (K,) labels with
-    merged ids (a relabelled copy when merges happen).
+    j_all: (M,) 1-NN map full -> subsample, or a zero-arg callable
+    returning it (lets the device path keep the backfill kernel in
+    flight through the host-side candidate/seed phases).  Returns the
+    (K,) labels with merged ids (a relabelled copy when merges happen).
     """
     uniq = np.unique(labels)
     uniq = uniq[uniq >= 0]
@@ -722,44 +782,57 @@ def _boundary_merge_full_density(
     # preferred source: the thinned MST's own merge heights
     # (`_mst_candidate_pairs`) — exact, and free when the clustering
     # already ran; a scene whose pairs all merge above margin*eps skips
-    # every full-density phase below, including the kNN probe.
+    # every full-density phase below, including the seed scan.
     t0 = time.perf_counter()
     if mst is not None:
         pairs = _mst_candidate_pairs(mst, labels, margin * eps)
         if not pairs:
             return labels
-    # boundary seeds (and, without an MST, the pairs too) come from a
-    # cross-cluster proximity probe over the subsample
-    k_probe = min(64, pts.shape[0])
-    dist, idx = knn_fast(pts, k_probe)
-    dist, idx = np.asarray(dist), np.asarray(idx)
-    nbr_lab = labels[idx]                       # (K, k)
-    cross = nbr_lab != labels[:, None]
-    near = cross & (np.asarray(dist) <= margin * eps)
-    if mst is not None:
-        # seeds restricted to candidate-pair boundaries
+
+    if mst is not None and knn is not None:
+        # boundary seeds from the clustering's own kNN arrays — no new
+        # kNN, and on the device path the (K, k) dist/idx stay on the
+        # accelerator: only the (K,) seed mask crosses the tunnel (the
+        # full arrays are ~77 MB, ~4 s of demo1 p50 at tunnel bandwidth)
         in_pair = np.zeros(
             (int(uniq.max()) + 1, int(uniq.max()) + 1), bool)
         for a, b in pairs:
             in_pair[a, b] = in_pair[b, a] = True
-        near &= in_pair[labels[:, None], nbr_lab]
-    seed_mask = near.any(axis=1)
-    if not seed_mask.any():
-        return labels
-    if mst is None:
-        pairs = set()
-        rows, cols = np.nonzero(near)
-        for r, c in zip(rows.tolist(), cols.tolist()):
-            a, b = int(labels[r]), int(nbr_lab[r, c])
-            pairs.add((min(a, b), max(a, b)))
-    _debug_t("candidates+probe", t0)
+        seed_mask = _seed_mask_from_knn(
+            knn, labels, in_pair, margin * eps)
+        if not seed_mask.any():
+            return labels
+    else:
+        # fallback (direct callers/tests): cross-cluster proximity probe
+        k_probe = min(64, pts.shape[0])
+        dist, idx = knn_fast(pts, k_probe)
+        dist, idx = np.asarray(dist), np.asarray(idx)
+        nbr_lab = labels[idx]                   # (K, k)
+        cross = nbr_lab != labels[:, None]
+        near = cross & (np.asarray(dist) <= margin * eps)
+        if mst is not None:
+            in_pair = np.zeros(
+                (int(uniq.max()) + 1, int(uniq.max()) + 1), bool)
+            for a, b in pairs:
+                in_pair[a, b] = in_pair[b, a] = True
+            near &= in_pair[labels[:, None], nbr_lab]
+        seed_mask = near.any(axis=1)
+        if not seed_mask.any():
+            return labels
+        if mst is None:
+            pairs = set()
+            rows, cols = np.nonzero(near)
+            for r, c in zip(rows.tolist(), cols.tolist()):
+                a, b = int(labels[r]), int(nbr_lab[r, c])
+                pairs.add((min(a, b), max(a, b)))
+    _debug_t("candidates+seeds", t0)
 
     # --- boundary subset at full density --------------------------------
     lab_uf = _UnionFind(int(uniq.max()) + 1)
 
     # --- part 1: sub-eps connectivity at full density --------------------
     t0 = time.perf_counter()
-    j_all = np.asarray(j_all)
+    j_all = j_all() if callable(j_all) else np.asarray(j_all)
     member = seed_mask[j_all]
     sel = np.flatnonzero(member)
     if sel.size > cap:
@@ -836,13 +909,17 @@ def _boundary_merge_full_density(
 def _knn_query_vs(ref, query: np.ndarray, k: int):
     """(dist, idx) of the k nearest ``ref`` rows per query row, exact.
 
-    Device brute blocks when available (small-Q x large-R is cheap on the
-    MXU), else sklearn on the host.  Query counts are padded so the
-    per-dispatch block count is a power of two: the refinement calls this
-    with data-dependent blob/neighbourhood sizes, and every distinct
-    block count is a fresh XLA program through the (minutes-slow) remote
-    compile service — bucketing bounds the shape family to
-    log2(max blocks) programs per (ref size, k)."""
+    Exact top_k on purpose: part 2's verdicts are sensitive to missing
+    local-graph edges — `approx_min_k` at its 0.95 recall target folded a
+    real demo9 cluster (5-vs-6, mIoU 0.799; exact restores 6/6 at 0.937),
+    because dropped edges delay the blob's mass accretion past its touch
+    height.  Device brute blocks when available (small-Q x large-R is
+    cheap on the MXU), else sklearn on the host.  Query counts are padded
+    so the per-dispatch block count is a power of two: the refinement
+    calls this with data-dependent blob/neighbourhood sizes, and every
+    distinct block count is a fresh XLA program through the
+    (minutes-slow) remote compile service — bucketing bounds the shape
+    family to log2(max blocks) programs per (ref size, k)."""
     if _accelerator_available():
         from iggt_official_tpu.ops.knn import brute_knn
 
@@ -926,6 +1003,7 @@ def _small_cluster_viability_merges(
             continue
         if sizes[s] > 20_000:
             continue
+        tp = time.perf_counter()
         s_idx = np.flatnonzero(full_labels == s)
         d_s, i_s = _knn_query_vs(flat, np.asarray(flat[s_idx], np.float32), k)
         d_s = np.asarray(d_s)
@@ -952,10 +1030,17 @@ def _small_cluster_viability_merges(
             min_d = np.full(uniq_n.size, np.inf)
             np.minimum.at(min_d, inv, nbr_d)
             uniq_n = uniq_n[np.argsort(min_d, kind="stable")[:nbr_cap]]
-        L_ids = np.unique(np.concatenate([s_idx, uniq_n]))
-        dL, iL = _knn_query_vs(flat, np.asarray(flat[L_ids], np.float32), k)
-        dL = np.asarray(dL)
-        iL = np.asarray(iL)
+        # blob rows reuse the first query's results — only the NEW
+        # neighbour rows hit the device (the blob is usually the larger
+        # side of the padded dispatch, so this halves the exact top_k
+        # work per pair)
+        d_new, i_new = _knn_query_vs(
+            flat, np.asarray(flat[uniq_n], np.float32), k)
+        cat = np.concatenate([s_idx, uniq_n])
+        order = np.argsort(cat, kind="stable")
+        L_ids = cat[order]
+        dL = np.concatenate([d_s, np.asarray(d_new)])[order]
+        iL = np.concatenate([i_s, np.asarray(i_new)])[order]
         coreL = dL[:, min_samples - 1]
         lab_L = full_labels[L_ids]
         # both memberships are certified by full-density neighbour purity:
@@ -987,6 +1072,9 @@ def _small_cluster_viability_merges(
         merge_verdict = _grow_until_viable_or_touch(
             nL, src, dst, w, is_s, is_big_int, min_cluster_size
         )
+        _debug_t(
+            f"part2 pair ({s},{big}) blob={s_idx.size} L={nL} "
+            f"fold={merge_verdict}", tp)
         if merge_verdict:
             lab_uf.union(s, big)
 
@@ -1090,11 +1178,14 @@ def _cluster_mv_device(
         ms, mcs = min_samples, min_cluster_size
     weights = np.ones(pts_dev.shape[0], np.float64)
 
-    labels, mst = weighted_hdbscan(
+    t0 = time.perf_counter()
+    labels, mst, knn = weighted_hdbscan(
         pts_dev, weights, eps, ms, mcs, approx_ok=True, return_mst=True
     )
+    _debug_t("hdbscan", t0)
 
     # noise -> 1-NN clustered pixel (`misc.py:135-148`)
+    t0 = time.perf_counter()
     noise = labels == -1
     if noise.all():
         labels[:] = 0
@@ -1105,16 +1196,33 @@ def _cluster_mv_device(
             nn1_pallas(pts_dev[noise_d], pts_dev[clustered_d])
         )
         labels[noise] = labels[~noise][j]
+    _debug_t("noise-reassign", t0)
 
     if sample_idx is None:
         return labels.reshape(n, h, w)
-    j_all = np.asarray(nn1_pallas(flat_dev, pts_dev)).astype(np.int64)
-    j_all[sample_idx] = np.arange(pts_dev.shape[0])
+    # the backfill kernel is dispatched async here; the refinement's
+    # host-side phases (MST candidate scan, seed mask, scipy work) run
+    # while it executes, and the lazy handle materializes it only where
+    # first needed (part 1) — ~0.5 s of the demo1 p50 hidden
+    t0 = time.perf_counter()
+    j_dev = nn1_pallas(flat_dev, pts_dev)
+    _debug_t("backfill-dispatch", t0)
+    memo = {}
+
+    def j_fn():
+        if "j" not in memo:
+            t1 = time.perf_counter()
+            j = np.asarray(j_dev).astype(np.int64)
+            j[sample_idx] = np.arange(pts_dev.shape[0])
+            memo["j"] = j
+            _debug_t("backfill-materialize", t1)
+        return memo["j"]
+
     labels = _boundary_merge_full_density(
-        flat_dev, pts_dev, labels, j_all, eps, min_samples,
-        min_cluster_size, mst=mst,
+        flat_dev, pts_dev, labels, j_fn, eps, min_samples,
+        min_cluster_size, mst=mst, knn=knn,
     )
-    return labels[j_all].reshape(n, h, w)
+    return labels[j_fn()].reshape(n, h, w)
 
 
 def _cluster_mv_host(
@@ -1144,7 +1252,7 @@ def _cluster_mv_host(
         ms, mcs = min_samples, min_cluster_size
     weights = np.ones(pts.shape[0], np.float64)
 
-    labels, mst = weighted_hdbscan(
+    labels, mst, knn = weighted_hdbscan(
         pts, weights, eps, ms, mcs, approx_ok=not exact, return_mst=True
     )
 
@@ -1164,7 +1272,7 @@ def _cluster_mv_host(
     j_all[rest] = _nn1(pts, flat[rest])
     labels = _boundary_merge_full_density(
         flat, pts, labels, j_all, eps, min_samples, min_cluster_size,
-        mst=mst,
+        mst=mst, knn=knn,
     )
     return labels[j_all].reshape(n, h, w)
 
