@@ -95,6 +95,13 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.knn_query.restype = None
     lib.nn1_tree.argtypes = [f32, i64, f32, i64, i64, ctypes.POINTER(i64)]
     lib.nn1_tree.restype = None
+    lib.knn_tree_build.argtypes = [f32, i64, i64]
+    lib.knn_tree_build.restype = ctypes.c_void_p
+    lib.knn_tree_free.argtypes = [ctypes.c_void_p]
+    lib.knn_tree_free.restype = None
+    lib.knn_tree_query.argtypes = [
+        ctypes.c_void_p, f32, i64, i64, f32, ctypes.POINTER(i64)]
+    lib.knn_tree_query.restype = None
     for fn in (lib.ccl2d, lib.wdbscan, lib.nn1, lib.hdbscan_mst_labels):
         fn.restype = None
     return lib
@@ -262,6 +269,77 @@ def knn_query(points: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         _ptr(dist, ctypes.c_float), _ptr(idx, ctypes.c_int64),
     )
     return dist, idx
+
+
+class KnnTree:
+    """Reusable exact-kNN tree over a fixed reference set.
+
+    Build once (`KnnTree(ref)`), query many batches (`.query(q, k)`) —
+    the clustering refinement's per-cluster-pair queries all hit the same
+    ~1.7M-point full-resolution reference, and on the remote-compile XLA
+    backend each distinct device query shape costs a fresh multi-minute
+    compile; this host path has zero compiles and one amortized build.
+    """
+
+    def __init__(self, ref: np.ndarray):
+        lib = _get_lib()
+        if lib is None:
+            raise RuntimeError("native postproc library unavailable")
+        self._lib = lib
+        # keep the reference alive: the tree copies points at build, so
+        # only the build call needs it — but hold it anyway against
+        # future zero-copy builds
+        ref = np.ascontiguousarray(ref, np.float32)
+        self.n, self.d = ref.shape
+        self._handle = lib.knn_tree_build(
+            _ptr(ref, ctypes.c_float), self.n, self.d
+        )
+        if not self._handle:
+            raise RuntimeError("knn_tree_build failed (empty reference?)")
+
+    def query(self, query: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(dist f32 (nq, k), idx i64 (nq, k)) of the k nearest reference
+        rows per query row, sorted ascending by (distance, ref index);
+        k > n_ref rows pad with +inf / nearest index."""
+        if self._handle is None:
+            raise RuntimeError("KnnTree already closed")
+        query = np.ascontiguousarray(query, np.float32)
+        nq, d = query.shape
+        if d != self.d:
+            raise ValueError(f"query dim {d} != ref dim {self.d}")
+        dist = np.empty((nq, k), np.float32)
+        idx = np.empty((nq, k), np.int64)
+        self._lib.knn_tree_query(
+            self._handle, _ptr(query, ctypes.c_float), int(nq), int(k),
+            _ptr(dist, ctypes.c_float), _ptr(idx, ctypes.c_int64),
+        )
+        return dist, idx
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.knn_tree_free(self._handle)
+            self._handle = None
+
+    def __enter__(self) -> "KnnTree":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self):  # best-effort; close() is the reliable path
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def knn_query_vs(
+    ref: np.ndarray, query: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One-shot kNN of ``query`` rows among ``ref`` rows (tree build +
+    query + free); use KnnTree directly to amortize the build."""
+    with KnnTree(ref) as tree:
+        return tree.query(query, k)
 
 
 def nearest_neighbor(ref: np.ndarray, query: np.ndarray) -> np.ndarray:

@@ -1047,4 +1047,71 @@ EXPORT int64_t mst_knn(
       out_a, out_b, out_d);
 }
 
+// ---------------------------------------------------------------------------
+// Reusable kNN tree handle: build once over a large reference set, run many
+// query batches against it.  Serves the clustering refinement
+// (ops/cluster.py::_boundary_merge_full_density), whose per-cluster-pair
+// queries hit the SAME full-resolution reference (~1.7M points at demo
+// scale) with data-dependent query counts — on the remote-compile XLA
+// backend every distinct query shape is a fresh multi-minute compile, so
+// the refinement routes here instead: zero device programs, one tree build
+// amortized across every pair (round-4 postmortem, VERDICT r4 task 2).
+
+EXPORT void* knn_tree_build(const float* ref, int64_t n, int64_t d) {
+  if (n <= 0) return nullptr;
+  return new KNNTree(ref, n, d);
+}
+
+EXPORT void knn_tree_free(void* handle) {
+  delete static_cast<KNNTree*>(handle);
+}
+
+// k nearest reference rows per query row, rows sorted ascending by
+// (distance, original ref index) — same contract as knn_query but vs an
+// external query set.  Consecutive queries warm-start each other's prune
+// bound via the triangle inequality (refinement queries arrive in pixel
+// order, i.e. spatially coherent).
+EXPORT void knn_tree_query(
+    void* handle, const float* query, int64_t n_query, int64_t k,
+    float* out_dist, int64_t* out_idx) {
+  const float INF = std::numeric_limits<float>::infinity();
+  const KNNTree& tree = *static_cast<KNNTree*>(handle);
+  const int64_t d = tree.d;
+  const int64_t kk = std::min<int64_t>(k, tree.n);
+  parallel_chunks(n_query, native_threads(), [&](int64_t c_lo, int64_t c_hi) {
+    std::vector<KNNTree::Cand> heap(kk);
+    std::vector<std::pair<float, int64_t>> row(kk);
+    float prev_dk = INF;
+    const float* prev_q = nullptr;
+    for (int64_t q = c_lo; q < c_hi; ++q) {
+      const float* qp = query + q * d;
+      float bound2 = INF;
+      if (prev_q && prev_dk < INF) {
+        float s = 0.f;
+        for (int64_t a = 0; a < d; ++a) {
+          float diff = qp[a] - prev_q[a];
+          s += diff * diff;
+        }
+        float b = prev_dk + std::sqrt(s);
+        bound2 = b * b;
+      }
+      int64_t hsz = 0;
+      tree.query(qp, kk, heap.data(), hsz, 0, tree.n, 0, bound2);
+      for (int64_t i = 0; i < hsz; ++i)
+        row[i] = {heap[i].d2, tree.orig[heap[i].slot]};
+      std::sort(row.begin(), row.begin() + hsz);
+      for (int64_t i = 0; i < hsz; ++i) {
+        out_dist[q * k + i] = std::sqrt(row[i].first);
+        out_idx[q * k + i] = row[i].second;
+      }
+      for (int64_t i = hsz; i < k; ++i) {  // k > n_ref padding
+        out_dist[q * k + i] = INF;
+        out_idx[q * k + i] = hsz ? row[0].second : 0;
+      }
+      prev_dk = hsz == kk ? std::sqrt(heap[0].d2) : INF;
+      prev_q = qp;
+    }
+  });
+}
+
 }  // extern "C"

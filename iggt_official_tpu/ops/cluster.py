@@ -634,6 +634,16 @@ def _seed_mask_from_knn(knn, labels: np.ndarray, in_pair: np.ndarray,
 
     import jax.numpy as jnp
 
+    # pad the (L, L) pair matrix to a power-of-two size: L is the scene's
+    # cluster count, and an unpadded shape would recompile the jit per
+    # distinct L on the minutes-slow remote compile path (ADVICE r4);
+    # padding with False rows/cols is a no-op for the mask
+    L = in_pair.shape[0]
+    Lp = max(8, 1 << (L - 1).bit_length())
+    if Lp != L:
+        padded = np.zeros((Lp, Lp), bool)
+        padded[:L, :L] = in_pair
+        in_pair = padded
     return np.asarray(_get_seed_mask_jit()(
         dist, idx, jnp.asarray(labels), jnp.asarray(in_pair),
         jnp.float32(thresh),
@@ -662,12 +672,17 @@ def _mst_candidate_pairs(mst, labels: np.ndarray, thresh: float):
     """Cluster pairs whose thinned-graph dendrogram merge height is
     <= ``thresh``: connected components of the MST restricted to edges
     <= thresh; every cross-label pair co-resident in a component merges
-    at or below thresh.  Thinning only INFLATES merge heights (removing
-    points stretches every path bottleneck and grows cores), so a pair
-    separated by more than ``thresh = margin*eps`` in the thinned graph
-    is separated by more than eps at full density with margin to spare —
-    refinement can skip it, and scenes with no near-eps pairs skip the
-    whole full-density pass (the p50-critical case)."""
+    at or below thresh.  Thinning inflates merge heights IN EXPECTATION
+    (removing points stretches path bottlenecks; with density-scaled
+    min_samples the thinned core distances dominate full-density cores
+    on average, but sampling fluctuation can deflate an individual
+    thinned height), so ``margin`` is empirical slack, not a proof:
+    margin=2 held across seeds and budgets in the round-4 sweep
+    (`benchmarks/subsample_policy_lab.py`) — do not shrink it on the
+    strength of a soundness claim (ADVICE r4).  A pair separated by more
+    than ``thresh = margin*eps`` in the thinned graph is skipped, and
+    scenes with no near-eps pairs skip the whole full-density pass (the
+    p50-critical case)."""
     edge_a, edge_b, edge_d = mst
     sel = np.asarray(edge_d) <= thresh
     if not sel.any():
@@ -768,15 +783,7 @@ def _boundary_merge_full_density(
     if len(uniq) < 2 or min_samples + 1 > pts.shape[0]:
         return labels
 
-    def knn_fast(x, k):
-        # approx device blocks when available (0.35 s at 150k/k=64 on
-        # v5e, PERF.md) — a missed neighbour only drops a reachability
-        # edge, which keeps this pass conservative
-        if x.shape[0] ** 2 >= 4_000_000 and _accelerator_available():
-            from iggt_official_tpu.ops.knn import brute_knn
-
-            return brute_knn(x, x, k, approx=True)
-        return _knn(np.asarray(x), k)
+    knn_fast = _refine_knn_self
 
     # --- candidate pairs ------------------------------------------------
     # preferred source: the thinned MST's own merge heights
@@ -788,6 +795,15 @@ def _boundary_merge_full_density(
         pairs = _mst_candidate_pairs(mst, labels, margin * eps)
         if not pairs:
             return labels
+        # refinement confirmed: the full-density phases below run host-side
+        # (zero XLA programs — round-4 postmortem), so start the one
+        # fixed-shape device->host transfer of the features now, overlapped
+        # with the seed-mask / backfill phases
+        if hasattr(flat, "copy_to_host_async"):
+            try:
+                flat.copy_to_host_async()
+            except Exception:
+                pass
 
     if mst is not None and knn is not None:
         # boundary seeds from the clustering's own kNN arrays — no new
@@ -826,6 +842,28 @@ def _boundary_merge_full_density(
                 a, b = int(labels[r]), int(nbr_lab[r, c])
                 pairs.add((min(a, b), max(a, b)))
     _debug_t("candidates+seeds", t0)
+
+    # --- host-side from here: materialize features + lazy kNN tree ------
+    t0 = time.perf_counter()
+    if not isinstance(flat, np.ndarray):
+        flat = np.asarray(flat)  # fixed-shape transfer, no compile
+    flat = np.ascontiguousarray(flat, np.float32)
+    _debug_t("flat-materialize", t0)
+
+    tree_box: list = []
+
+    def flat_tree():
+        """Native kNN tree over the full features, built on first use
+        (only cluster pairs with a small side need per-pair queries) and
+        amortized across every part-2 pair."""
+        if not tree_box:
+            from iggt_official_tpu import native
+
+            t1 = time.perf_counter()
+            tree_box.append(
+                native.KnnTree(flat) if native.available() else None)
+            _debug_t("flat-tree-build", t1)
+        return tree_box[0]
 
     # --- boundary subset at full density --------------------------------
     lab_uf = _UnionFind(int(uniq.max()) + 1)
@@ -885,10 +923,14 @@ def _boundary_merge_full_density(
 
     # --- part 2: condensed-node viability of small clusters -------------
     t0 = time.perf_counter()
-    _small_cluster_viability_merges(
-        flat, labels, j_all, pairs, lab_uf, eps, min_samples,
-        min_cluster_size,
-    )
+    try:
+        _small_cluster_viability_merges(
+            flat, labels, j_all, pairs, lab_uf, eps, min_samples,
+            min_cluster_size, flat_tree=flat_tree,
+        )
+    finally:
+        if tree_box and tree_box[0] is not None:
+            tree_box[0].close()
     _debug_t("part2", t0)
 
     roots = np.array([lab_uf.find(int(u)) for u in uniq])
@@ -906,34 +948,75 @@ def _boundary_merge_full_density(
     return out
 
 
-def _knn_query_vs(ref, query: np.ndarray, k: int):
+def _refine_knn_self(x, k: int):
+    """Self-kNN for the refinement's boundary subsets — host-side by
+    design.  The subset sizes here are data-dependent (seed-mask hits,
+    blob neighbourhoods), and on remote-compile backends every novel
+    device shape is a fresh multi-minute XLA compile: round 4's driver
+    bench sat 44+ minutes in this pass's compile tail (VERDICT r4).  The
+    native C++ tree is compile-free and these subsets are <= a few
+    hundred k points.  ``IGGT_DEVICE_KNN=1`` (explicit force, for
+    locally-attached chips where compiles are cheap) restores the device
+    brute blocks."""
+    x = np.asarray(x, np.float32)
+    if os.environ.get("IGGT_DEVICE_KNN") == "1" and _accelerator_available():
+        from iggt_official_tpu.ops.knn import brute_knn
+
+        return brute_knn(x, x, k, approx=x.shape[0] ** 2 >= 4_000_000)
+    from iggt_official_tpu import native
+
+    if native.available():
+        return native.knn_query(x, k)
+    from sklearn.neighbors import NearestNeighbors
+
+    return NearestNeighbors(n_neighbors=k).fit(x).kneighbors(x)
+
+
+def _knn_query_vs(ref, query: np.ndarray, k: int, tree=None):
     """(dist, idx) of the k nearest ``ref`` rows per query row, exact.
 
     Exact top_k on purpose: part 2's verdicts are sensitive to missing
     local-graph edges — `approx_min_k` at its 0.95 recall target folded a
     real demo9 cluster (5-vs-6, mIoU 0.799; exact restores 6/6 at 0.937),
     because dropped edges delay the blob's mass accretion past its touch
-    height.  Device brute blocks when available (small-Q x large-R is
-    cheap on the MXU), else sklearn on the host.  Query counts are padded
-    so the per-dispatch block count is a power of two: the refinement
-    calls this with data-dependent blob/neighbourhood sizes, and every
-    distinct block count is a fresh XLA program through the
-    (minutes-slow) remote compile service — bucketing bounds the shape
-    family to log2(max blocks) programs per (ref size, k)."""
-    if _accelerator_available():
+    height.
+
+    Host-side by design (same rationale as `_refine_knn_self`): the
+    refinement calls this with data-dependent blob/neighbourhood query
+    counts, and every distinct device shape was a fresh multi-minute
+    remote XLA compile — round 4's bench never finished this pass.  Pass
+    ``tree`` (a ``native.KnnTree`` over ``ref``) to amortize the tree
+    build across the per-cluster-pair queries.  ``IGGT_DEVICE_KNN=1``
+    restores the device brute blocks (query counts padded to a
+    power-of-two block count so the shape family stays bounded, with the
+    block size computed by brute_knn's own 512 MiB formula)."""
+    if tree is not None:
+        return tree.query(np.asarray(query, np.float32), k)
+    if os.environ.get("IGGT_DEVICE_KNN") == "1" and _accelerator_available():
         from iggt_official_tpu.ops.knn import brute_knn
 
         q = np.asarray(query, np.float32)
         Q = q.shape[0]
-        block = 4096  # brute_knn's internal query block (single block =
-        # one shape already; only multi-block counts need bucketing)
+        # brute_knn shrinks its query block to cap the (block, R) f32
+        # distance buffer at 512 MiB — mirror that formula so the padded
+        # block count matches the real dispatch shape (ADVICE r4)
+        n_ref = ref.shape[0]
+        block = 4096
+        max_block = max(256, int((512 * 2**20) // max(n_ref * 4, 1)))
+        if block > max_block:
+            block = max(256, 1 << (max_block.bit_length() - 1))
         n_blocks = -(-Q // block)
         n_pow2 = 1 << max(0, n_blocks - 1).bit_length()
-        if n_blocks > 1 and n_pow2 * block > Q:
+        if n_pow2 * block > Q:
             q = np.concatenate(
                 [q, np.repeat(q[:1], n_pow2 * block - Q, axis=0)])
-        d, i = brute_knn(ref, q, k)
+        d, i = brute_knn(ref, q, k, block=block)
         return d[:Q], i[:Q]
+    from iggt_official_tpu import native
+
+    if native.available():
+        return native.knn_query_vs(
+            np.asarray(ref, np.float32), np.asarray(query, np.float32), k)
     from sklearn.neighbors import NearestNeighbors
 
     nn = NearestNeighbors(n_neighbors=k).fit(np.asarray(ref))
@@ -950,6 +1033,7 @@ def _small_cluster_viability_merges(
     min_samples: int,
     min_cluster_size: int,
     small_cap_ratio: int = 8,
+    flat_tree=None,
 ) -> None:
     """Full-density condensed-node viability test for small clusters.
 
@@ -1005,7 +1089,9 @@ def _small_cluster_viability_merges(
             continue
         tp = time.perf_counter()
         s_idx = np.flatnonzero(full_labels == s)
-        d_s, i_s = _knn_query_vs(flat, np.asarray(flat[s_idx], np.float32), k)
+        tree = flat_tree() if callable(flat_tree) else flat_tree
+        d_s, i_s = _knn_query_vs(
+            flat, np.asarray(flat[s_idx], np.float32), k, tree=tree)
         d_s = np.asarray(d_s)
         i_s = np.asarray(i_s)
         if not (full_labels[i_s] == big).any():
@@ -1035,7 +1121,7 @@ def _small_cluster_viability_merges(
         # side of the padded dispatch, so this halves the exact top_k
         # work per pair)
         d_new, i_new = _knn_query_vs(
-            flat, np.asarray(flat[uniq_n], np.float32), k)
+            flat, np.asarray(flat[uniq_n], np.float32), k, tree=tree)
         cat = np.concatenate([s_idx, uniq_n])
         order = np.argsort(cat, kind="stable")
         L_ids = cat[order]

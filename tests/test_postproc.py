@@ -262,6 +262,65 @@ def test_native_knn_query_matches_sklearn():
     assert (i1 == i2)[strict].mean() == 1.0
 
 
+def test_native_knn_tree_query_vs_matches_sklearn():
+    """Tree-handle query-vs-ref kNN == sklearn exact kNN (the clustering
+    refinement's compile-free boundary-query path, VERDICT r4 task 2)."""
+    from sklearn.neighbors import NearestNeighbors
+
+    native = _native()
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1, (6, 8))
+    ref = (centers[rng.integers(0, 6, 8000)]
+           + 0.05 * rng.normal(size=(8000, 8))).astype(np.float32)
+    query = (centers[rng.integers(0, 6, 700)]
+             + 0.05 * rng.normal(size=(700, 8))).astype(np.float32)
+    k = 31
+    with native.KnnTree(ref) as tree:
+        d1a, i1a = tree.query(query, k)
+        d1b, i1b = tree.query(query[:100], k)  # handle reuse
+    d2x, i2x = NearestNeighbors(n_neighbors=k + 1).fit(ref).kneighbors(query)
+    d2, i2 = d2x[:, :k], i2x[:, :k]
+    np.testing.assert_allclose(d1a, d2.astype(np.float32), atol=2e-5)
+    np.testing.assert_array_equal(d1b, d1a[:100])
+    np.testing.assert_array_equal(i1b, i1a[:100])
+    gap = 1e-4
+    d2f = d2x.astype(np.float32)
+    strict = (d2f[:, 1:] - d2f[:, :-1]) > gap
+    strict[:, 1:] &= strict[:, :-1]
+    assert (i1a == i2)[strict].mean() == 1.0
+
+
+def test_native_knn_tree_k_exceeds_ref():
+    """k > n_ref rows pad with +inf distances (callers clamp, but the
+    contract must hold)."""
+    native = _native()
+    rng = np.random.default_rng(12)
+    ref = rng.normal(0, 1, (5, 3)).astype(np.float32)
+    q = rng.normal(0, 1, (4, 3)).astype(np.float32)
+    d, i = native.knn_query_vs(ref, q, 8)
+    assert d.shape == (4, 8) and i.shape == (4, 8)
+    assert np.isinf(d[:, 5:]).all()
+    assert np.isfinite(d[:, :5]).all()
+    assert (np.diff(d[:, :5], axis=1) >= 0).all()
+
+
+def test_refine_knn_query_vs_routes_native():
+    """_knn_query_vs must not dispatch to the device by default (its
+    query shapes are data-dependent; every novel device shape is a fresh
+    remote compile — round-4 bench postmortem).  Native/sklearn answers
+    must agree with a brute-force reference."""
+    from iggt_official_tpu.ops.cluster import _knn_query_vs
+
+    rng = np.random.default_rng(13)
+    ref = rng.normal(0, 1, (2000, 8)).astype(np.float32)
+    q = rng.normal(0, 1, (137, 8)).astype(np.float32)  # odd count on purpose
+    d, i = _knn_query_vs(ref, q, 5)
+    d2_all = np.linalg.norm(q[:, None, :] - ref[None, :, :], axis=-1)
+    i2 = np.argsort(d2_all, axis=1)[:, :5]
+    np.testing.assert_allclose(
+        np.asarray(d), np.take_along_axis(d2_all, i2, 1), atol=3e-5)
+
+
 def test_native_mst_matches_scipy():
     """Boruvka spanning forest == scipy Prim: same total weight (the MST
     weight is unique) and same connected components, incl. a disconnected
