@@ -1,15 +1,23 @@
 """Benchmark: flagship IGGT forward throughput on the local accelerator.
 
 Measures views/sec for the BASELINE.json operating point — an 8-view scene
-at 518 px, bf16 trunk + fp32 heads, full ViT-L/14 model — and prints ONE
-JSON line:  {"metric", "value", "unit", "vs_baseline", "extra"}.
+at 518 px, bf16 trunk + fp32 heads, full ViT-L/14 model — and prints the
+JSON line  {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-``extra.p50_scene_latency_s`` is the second BASELINE.json metric: median
-end-to-end scene time (image load -> forward -> pose decode/unprojection ->
-KNN smoothing -> clustering) over repeated runs of the demo1 scene at the
-reference demo operating point (504x336), via the real app pipeline
-(`app/demo.py` IGGTProcessor, random weights — latency is weight-agnostic
-except for clustering, which is bounded by the subsample budget).
+Un-losable by design (round-4 postmortem: the driver timed out inside the
+post-processing smoke and the already-measured views/s evaporated):
+
+- the headline line is printed (flushed) THE MOMENT the throughput loop
+  finishes, before any auxiliary measurement runs;
+- the auxiliary stages — ``scene_latency_p50`` (median end-to-end demo1
+  scene time through the real app pipeline) and ``postproc_scale_smoke``
+  (10-view post-processing guard) — each run in their OWN SUBPROCESS under
+  a hard timeout, so a wedged remote compile kills the stage, not the
+  bench;
+- a final enriched line re-prints the same headline value with whatever
+  extras completed; stages that timed out appear as ``"<stage>":
+  "timeout"`` with ``"degraded": true``.  Exit code is 0 once the headline
+  exists.
 
 The reference repo publishes no numbers (BASELINE.md), so ``vs_baseline``
 is measured against a locally recorded anchor — the round-1 first working
@@ -27,6 +35,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -37,15 +47,19 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 ANCHOR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_ANCHOR.json")
 
+# subprocess budgets for the auxiliary stages (seconds).  Warm-cache runs
+# finish in well under a minute each; the budgets only bite when a novel
+# shape hits the minutes-slow remote compile service, which is exactly the
+# failure the headline must survive.
+P50_TIMEOUT_S = 480
+SMOKE_TIMEOUT_S = 420
+
 
 def _wait_for_accelerator(max_wait_s: float = 900.0) -> None:
     """A killed-mid-compile process wedges the remote-TPU tunnel for
     ~10-20 min; probe it in fresh subprocesses (backend init failure is
     cached per process) until it answers, so a bench launched during the
     wedge recovers instead of dying at jax.devices()."""
-    import subprocess
-    import sys
-
     probe = (
         "import jax, numpy as np;"
         "print(int(np.asarray(jax.numpy.ones((8, 128))).sum()))"
@@ -66,6 +80,53 @@ def _wait_for_accelerator(max_wait_s: float = 900.0) -> None:
         time.sleep(30)
 
 
+def _cache_entries() -> int:
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    try:
+        return len(os.listdir(d))
+    except OSError:
+        return -1
+
+
+def _run_stage(stage: str, timeout_s: int) -> dict:
+    """Run ``bench.py --stage <stage>`` in a subprocess, return its JSON
+    result dict, or {"<stage>": "timeout"/"error"} on failure.  The
+    subprocess boundary is the watchdog: a stage wedged in a remote
+    compile is killed at the deadline without touching the parent (or the
+    already-printed headline)."""
+    t0 = time.perf_counter()
+    before = _cache_entries()
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", stage],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return {stage: "timeout", f"{stage}_budget_s": timeout_s,
+                "degraded": True}
+    out = {}
+    for line in reversed((r.stdout or "").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                out = json.loads(line)
+                break
+            except json.JSONDecodeError:
+                continue
+    if r.returncode != 0 or not out:
+        tail = ((r.stderr or "").strip().splitlines() or [""])[-1][:200]
+        return {stage: "error", f"{stage}_rc": r.returncode,
+                f"{stage}_err": tail, "degraded": True}
+    out[f"{stage}_wall_s"] = round(time.perf_counter() - t0, 1)
+    # compile-tail guard (VERDICT r4 task 2): auxiliary stages must add
+    # ZERO new XLA programs on a warm cache — report the delta so the
+    # preflight gate can assert on it
+    after = _cache_entries()
+    if before >= 0 and after >= 0:
+        out[f"{stage}_cache_entries_delta"] = after - before
+    return out
+
+
 def main() -> None:
     import argparse
 
@@ -73,7 +134,18 @@ def main() -> None:
     parser.add_argument("--views", type=int, default=None,
                         help="long-sequence mode: views/s at N views, 504x336")
     parser.add_argument("--runs", type=int, default=5)
+    parser.add_argument("--stage", choices=["p50", "smoke"], default=None,
+                        help="internal: run one auxiliary stage and print "
+                             "its JSON result")
     args = parser.parse_args()
+
+    if args.stage == "p50":
+        print(json.dumps({"p50_scene_latency_s": scene_latency_p50()}),
+              flush=True)
+        return
+    if args.stage == "smoke":
+        print(json.dumps(postproc_scale_smoke()), flush=True)
+        return
 
     _wait_for_accelerator()
 
@@ -182,24 +254,28 @@ def main() -> None:
                 f,
             )
 
-    # free the throughput run's buffers before the 10-view smoke (images,
-    # activations); params are re-created inside the smoke's processor
-    del images, out
-    smoke = postproc_scale_smoke()
+    headline = {
+        "metric": "views_per_sec_8view_518px",
+        "value": round(views_per_sec, 4),
+        "unit": "views/s",
+        "vs_baseline": round(views_per_sec / anchor, 4),
+    }
+    # the headline survives anything that happens below: print it NOW
+    print(json.dumps({**headline, "extra": {"partial": True}}), flush=True)
 
-    p50 = scene_latency_p50()
+    # free the throughput run's buffers before the auxiliary stages
+    # (their subprocesses share the one-chip HBM through the tunnel)
+    del images, out, params
 
-    print(
-        json.dumps(
-            {
-                "metric": "views_per_sec_8view_518px",
-                "value": round(views_per_sec, 4),
-                "unit": "views/s",
-                "vs_baseline": round(views_per_sec / anchor, 4),
-                "extra": {"p50_scene_latency_s": p50, **smoke},
-            }
-        )
-    )
+    extra: dict = {}
+    try:
+        extra.update(_run_stage("p50", P50_TIMEOUT_S))
+        extra.update(_run_stage("smoke", SMOKE_TIMEOUT_S))
+    except Exception as e:  # never let extras kill the bench
+        extra["extras_error"] = repr(e)[:200]
+        extra["degraded"] = True
+
+    print(json.dumps({**headline, "extra": extra}), flush=True)
 
 
 def postproc_scale_smoke(views: int = 10, h: int = 336, w: int = 504):
@@ -211,23 +287,50 @@ def postproc_scale_smoke(views: int = 10, h: int = 336, w: int = 504):
     ran it; this guard (a) asserts the smoothing executable's XLA temp
     budget at scale and (b) actually executes smoothing + clustering once,
     so any scale regression turns the whole bench red instead of hiding.
+
+    The synthetic scene is SPATIALLY COHERENT (blob ids are contiguous
+    image regions, like real scenes), not per-pixel random: round 4 drew
+    blob ids i.i.d. per pixel, which after kNN smoothing produced a
+    feature-space continuum between all 6 centers — a regime no real
+    scene exhibits — and sent the clustering refinement into an unbounded
+    compile tail on the driver's critical path (VERDICT r4).  The memory
+    scale (M=1.69M points through smoothing + clustering) is unchanged;
+    that is what the guard is for.
     """
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from iggt_official_tpu.ops.cluster import cluster_features_to_masks_mv
     from iggt_official_tpu.ops.knn import knn_smooth_features
 
     rng = np.random.default_rng(1)
-    # a handful of feature blobs + spatially coherent points: enough
-    # structure that clustering exercises its full pipeline (subsample,
-    # HDBSCAN, 1-NN backfill) rather than degenerating to all-noise
     centers = rng.uniform(-1, 1, (6, 8)).astype(np.float32)
-    blob = rng.integers(0, 6, views * h * w)
+    # blob id = contiguous spatial region: per-view Voronoi partition of
+    # the image plane under 6 random sites (regions, straight boundaries)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    blob = np.empty((views, h, w), np.int64)
+    for v in range(views):
+        sites = rng.uniform(0, 1, (6, 2)).astype(np.float32)
+        d2 = ((yy[None] / h - sites[:, :1, None]) ** 2
+              + (xx[None] / w - sites[:, 1:, None]) ** 2)
+        blob[v] = np.argmin(d2, axis=0)
+    blob = blob.reshape(-1)
     fts_np = (centers[blob] + rng.normal(0, 0.05, (views * h * w, 8))
               ).astype(np.float32).reshape(views, h, w, 8)
-    pts_np = (rng.normal(0, 1, (views, h, w, 3)).astype(np.float32)
-              + blob.reshape(views, h, w, 1).astype(np.float32))
+    # points: smooth per-view depth surface unprojected on the pixel grid
+    # + per-blob world offset (objects occupy distinct depth bands), so
+    # the Morton smoothing neighbourhoods are local pixels like a real
+    # unprojection
+    depth = 2.0 + 0.5 * np.sin(yy / 40.0)[None] + 0.3 * np.cos(xx / 55.0)[None]
+    depth = depth + 0.4 * blob.reshape(views, h, w)
+    pts_np = np.stack(
+        [(xx[None] / w - 0.5) * depth, (yy[None] / h - 0.5) * depth, depth],
+        axis=-1,
+    ).astype(np.float32)
+    pts_np += rng.normal(0, 0.003, pts_np.shape).astype(np.float32)
 
     pts = jax.device_put(jnp.asarray(pts_np))
     fts = jax.device_put(jnp.asarray(fts_np))
@@ -264,6 +367,7 @@ def postproc_scale_smoke(views: int = 10, h: int = 336, w: int = 504):
     return {
         "smoke10_smooth_s": round(t_smooth, 3),
         "smoke10_cluster_s": round(t_cluster, 3),
+        "smoke10_clusters": int(len(np.unique(masks[masks >= 0]))),
         "smoke10_smooth_temp_gib": (
             round(temp_gib, 2) if temp_gib is not None else None),
     }
@@ -276,6 +380,11 @@ def scene_latency_p50(runs: int = 5):
     if not os.path.isdir(os.path.join(scene, "images")):
         return None
     import statistics
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from iggt_official_tpu.app.demo import IGGTProcessor
 
