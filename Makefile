@@ -10,11 +10,19 @@ preflight-tests:
 	$(CPU_ENV) $(PY) -m pytest tests/test_postproc.py \
 	    tests/test_cluster_device.py -x -q
 
-# Full pre-snapshot gate: fast tests, then the real chip bench (includes
-# the 10-view scale smoke + compile-memory guard), then the multichip
+# Full pre-snapshot gate: fast tests, then the DRIVER-CONTRACT bench run
+# (fresh process, 1200 s hard budget, headline within 900 s, zero
+# compile-cache growth in the auxiliary stages), then the multichip
 # sharding dryrun. Chip steps must not overlap the CPU pytest step.
-preflight: preflight-tests bench dryrun
+preflight: preflight-tests preflight-driver dryrun
 	@echo "preflight OK"
+
+# The exact conditions the driver runs bench.py under (round-4 postmortem:
+# a warm-environment `make bench` passed while the driver's fresh process
+# timed out). Run TWICE after any compile-path change: the first run may
+# legitimately warm the cache; the second must add zero entries.
+preflight-driver:
+	$(PY) benchmarks/driver_sim.py
 
 bench:
 	$(PY) bench.py

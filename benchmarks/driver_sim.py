@@ -1,0 +1,127 @@
+"""Simulate the driver's bench run and assert its contract.
+
+Round 4 shipped a preflight that ran ``bench.py`` in the builder's warm,
+long-lived environment and passed — while the driver's fresh-process run
+timed out and recorded nothing.  This gate reproduces the driver's
+conditions exactly:
+
+- a FRESH subprocess (no inherited jax state), from a clean cwd;
+- a hard wall-clock budget (default 1200 s — conservative vs whatever the
+  driver allows);
+- the headline JSON line must appear within ``--headline-budget`` seconds
+  (default 900) — the un-losable-bench guarantee;
+- rc must be 0, the final line must parse, and the auxiliary stages must
+  have added ZERO compilation-cache entries (the round-4 failure mode was
+  an unbounded compile tail inside the post-processing smoke).
+
+Exit 0 = the driver will record a number this round.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import selectors
+import subprocess
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget", type=float, default=1200.0,
+                    help="total wall-clock budget (s)")
+    ap.add_argument("--headline-budget", type=float, default=900.0,
+                    help="the first JSON line must appear within this (s)")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench = os.path.join(repo, "bench.py")
+
+    t0 = time.perf_counter()
+    proc = subprocess.Popen(
+        [sys.executable, bench], cwd=repo,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+    )
+    fd = proc.stdout.fileno()
+    os.set_blocking(fd, False)
+    sel = selectors.DefaultSelector()
+    sel.register(fd, selectors.EVENT_READ)
+
+    lines: list[dict] = []
+    t_headline = None
+    buf = b""
+    failed = None
+    eof = False
+    while not eof:
+        elapsed = time.perf_counter() - t0
+        if elapsed > args.budget:
+            failed = f"total budget {args.budget:.0f}s exceeded"
+            proc.kill()
+            break
+        if lines == [] and elapsed > args.headline_budget:
+            failed = (f"no headline within {args.headline_budget:.0f}s "
+                      f"(un-losable-bench contract violated)")
+            proc.kill()
+            break
+        if not sel.select(timeout=5.0):
+            if proc.poll() is not None:
+                break
+            continue
+        while True:
+            try:
+                chunk = os.read(fd, 65536)
+            except BlockingIOError:
+                break
+            if chunk == b"":
+                eof = True
+                break
+            buf += chunk
+        while b"\n" in buf:
+            raw, buf = buf.split(b"\n", 1)
+            line = raw.decode(errors="replace").strip()
+            if line.startswith("{"):
+                try:
+                    lines.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+                if t_headline is None:
+                    t_headline = time.perf_counter() - t0
+                    print(f"[driver-sim] headline after {t_headline:.0f}s: "
+                          f"{lines[0].get('value')} "
+                          f"{lines[0].get('unit')}", flush=True)
+    rc = proc.wait()
+    wall = time.perf_counter() - t0
+
+    if failed is None and rc != 0:
+        failed = f"bench rc={rc}"
+    if failed is None and not lines:
+        failed = "no JSON line produced"
+    if failed is None:
+        final = lines[-1]
+        extra = final.get("extra", {})
+        if final.get("value", 0) <= 0:
+            failed = f"non-positive headline value: {final.get('value')}"
+        elif extra.get("partial"):
+            print("[driver-sim] WARNING: only the partial headline "
+                  "landed (extras missing)", flush=True)
+        for k, v in extra.items():
+            if k.endswith("_cache_entries_delta") and v != 0:
+                failed = (f"compile-tail: {k}={v} new XLA programs during "
+                          f"an auxiliary stage (must be 0 on a warm cache)")
+        if extra.get("degraded"):
+            print(f"[driver-sim] WARNING: degraded extras: "
+                  f"{json.dumps(extra)}", flush=True)
+
+    if failed:
+        print(f"[driver-sim] FAIL after {wall:.0f}s: {failed}", flush=True)
+        return 1
+    print(f"[driver-sim] PASS in {wall:.0f}s "
+          f"(headline at {t_headline:.0f}s, rc=0): "
+          f"{json.dumps(lines[-1])}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
