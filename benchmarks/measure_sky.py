@@ -160,8 +160,56 @@ def _overcast(img: np.ndarray) -> np.ndarray:
     return (np.clip(x, 0, 1) * 255).astype(np.uint8)
 
 
+def _warm_night(img: np.ndarray) -> np.ndarray:
+    """Moonless light-polluted night (round 5): exposure drop + WARM
+    sodium-lamp cast + sensor noise — the documented night-branch miss
+    (the r4 branch required a blue cast), and warm bait for the indoor
+    negatives."""
+    x = np.asarray(img, np.float32) / 255.0
+    x = np.power(x, 1.4) * 0.20
+    x = x * np.asarray([1.15, 0.95, 0.72], np.float32)
+    rng = np.random.default_rng(1)
+    x = x + rng.normal(0, 0.008, x.shape).astype(np.float32)
+    return (np.clip(x, 0, 1) * 255).astype(np.uint8)
+
+
 VARIANTS = {"orig": None, "sunset": _sunset, "night": _night,
-            "overcast": _overcast}
+            "overcast": _overcast, "warm_night": _warm_night}
+
+
+def _skyfill(img: np.ndarray, golden: np.ndarray):
+    """Upward-tilt reframe (round 5, geometric): keep the top 30% rows and
+    resize back to full height, so real sky reaches the frame bottom — a
+    low-horizon / sky-dominant shot (the annotated sky boxes extend to
+    ~y=0.3h, so after this reframe predicted sky must cross the bottom
+    fifth, exercising the dominance exemption).  The r4 vertical-extent
+    filter rejected ANY top component with >2% mass in the bottom fifth,
+    which zeroed the whole mask on such frames (ADVICE r4).  The golden
+    is cropped/resized identically (nearest keeps the 0/128/255
+    coding)."""
+    h, w = img.shape[:2]
+    cut = max(1, int(0.30 * h))
+    im2 = np.asarray(PIL.Image.fromarray(img[:cut]).resize(
+        (w, h), PIL.Image.Resampling.BILINEAR))
+    g2 = np.asarray(PIL.Image.fromarray(golden[:cut]).resize(
+        (w, h), PIL.Image.Resampling.NEAREST))
+    # the interpolated skyline band is uncertain — widen don't-care by a
+    # few rows around any sky/nonsky transition
+    edge = np.zeros_like(g2, bool)
+    diff = g2[1:] != g2[:-1]
+    edge[1:] |= diff
+    edge[:-1] |= diff
+    for _ in range(3):
+        e = edge.copy()
+        e[1:] |= edge[:-1]
+        e[:-1] |= edge[1:]
+        edge = e
+    g2 = g2.copy()
+    g2[edge] = 128
+    return im2, g2
+
+
+GEO_VARIANTS = {"skyfill": _skyfill}
 
 
 def evaluate() -> dict:
@@ -171,10 +219,17 @@ def evaluate() -> dict:
     for rel in ANNOTATIONS:
         name = rel.replace("/images/", "__").replace("/", "_")
         name = op.splitext(name)[0] + ".png"
-        golden = np.asarray(PIL.Image.open(op.join(GOLDEN_DIR, name)))
+        golden0 = np.asarray(PIL.Image.open(op.join(GOLDEN_DIR, name)))
         base = np.asarray(PIL.Image.open(op.join(DEMO, rel)).convert("RGB"))
-        for variant, tf in VARIANTS.items():
-            img = base if tf is None else tf(base)
+        cases = [(variant, base if tf is None else tf(base), golden0)
+                 for variant, tf in VARIANTS.items()]
+        for gname, gtf in GEO_VARIANTS.items():
+            img_g, golden_g = gtf(base, golden0)
+            cases.append((gname, img_g, golden_g))
+            # geometric + warm-night composition: sky-dominant AND dark
+            img_gn, golden_gn = gtf(_warm_night(base), golden0)
+            cases.append((f"{gname}_warm_night", img_gn, golden_gn))
+        for variant, img, golden in cases:
             pred_keep = segment_sky_heuristic(img)  # 255=keep, 0=sky
             pred_sky = pred_keep == 0
             gt_sky, gt_non = golden == 0, golden == 255
@@ -204,9 +259,11 @@ def evaluate() -> dict:
                 [v["fp_rate_nonsky"] for v in rows])), 4),
         }
 
+    all_variants = (list(VARIANTS) + [g for g in GEO_VARIANTS]
+                    + [f"{g}_warm_night" for g in GEO_VARIANTS])
     out = {
         "per_image": per_image,
-        "by_variant": {v: agg(v) for v in VARIANTS},
+        "by_variant": {v: agg(v) for v in all_variants},
         "note": "goldens are conservative hand annotations with don't-care "
                 "skyline bands; sunset/night/overcast rows are deterministic "
                 "photometric variants of the same frames (no real "
