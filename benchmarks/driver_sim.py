@@ -34,10 +34,14 @@ def main() -> int:
                     help="total wall-clock budget (s)")
     ap.add_argument("--headline-budget", type=float, default=900.0,
                     help="the first JSON line must appear within this (s)")
+    ap.add_argument("--bench", default=None,
+                    help="bench script to drive (default: repo bench.py; "
+                         "overridable so the gate itself is testable)")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    bench = os.path.join(repo, "bench.py")
+    bench = os.path.abspath(args.bench) if args.bench else os.path.join(
+        repo, "bench.py")
 
     t0 = time.perf_counter()
     proc = subprocess.Popen(

@@ -1,0 +1,142 @@
+"""Tests for the bench packaging itself (bench.py + driver_sim.py).
+
+Two consecutive rounds lost their driver-visible throughput number to
+bench *packaging* failures (r3 rc=1, r4 rc=124 with an empty tail), so
+the harness machinery — headline-first printing, subprocess-isolated
+stages, the driver-contract gate — gets direct tests against stub bench
+scripts.  No accelerator needed: the stubs print canned JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER_SIM = os.path.join(REPO, "benchmarks", "driver_sim.py")
+
+
+def _run_driver_sim(bench_path, budget=20.0, headline_budget=10.0):
+    return subprocess.run(
+        [sys.executable, DRIVER_SIM, "--bench", str(bench_path),
+         "--budget", str(budget), "--headline-budget", str(headline_budget)],
+        capture_output=True, text=True, timeout=budget + 30,
+    )
+
+
+def _stub(tmp_path, body):
+    p = tmp_path / "stub_bench.py"
+    p.write_text("import json, sys, time\n" + textwrap.dedent(body))
+    return p
+
+
+def test_driver_sim_passes_on_healthy_bench(tmp_path):
+    stub = _stub(tmp_path, """
+        head = {"metric": "views_per_sec_8view_518px", "value": 11.2,
+                "unit": "views/s", "vs_baseline": 1.39}
+        print(json.dumps({**head, "extra": {"partial": True}}), flush=True)
+        print(json.dumps({**head, "extra": {
+            "p50_scene_latency_s": 5.7, "p50_cache_entries_delta": 0,
+            "smoke_cache_entries_delta": 0}}), flush=True)
+    """)
+    r = _run_driver_sim(stub)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "PASS" in r.stdout
+
+
+def test_driver_sim_fails_without_headline(tmp_path):
+    stub = _stub(tmp_path, """
+        time.sleep(60)
+    """)
+    r = _run_driver_sim(stub, budget=20, headline_budget=3)
+    assert r.returncode == 1
+    assert "no headline" in r.stdout
+
+
+def test_driver_sim_fails_on_nonzero_rc(tmp_path):
+    stub = _stub(tmp_path, """
+        print(json.dumps({"metric": "m", "value": 11.0, "unit": "u",
+                          "extra": {}}), flush=True)
+        sys.exit(3)
+    """)
+    r = _run_driver_sim(stub)
+    assert r.returncode == 1
+    assert "rc=3" in r.stdout
+
+
+def test_driver_sim_fails_on_compile_tail(tmp_path):
+    """A non-zero cache-entries delta in an auxiliary stage = the round-4
+    failure mode resurfacing; the gate must go red."""
+    stub = _stub(tmp_path, """
+        head = {"metric": "m", "value": 11.0, "unit": "u"}
+        print(json.dumps({**head, "extra": {
+            "smoke_cache_entries_delta": 4}}), flush=True)
+    """)
+    r = _run_driver_sim(stub)
+    assert r.returncode == 1
+    assert "compile-tail" in r.stdout
+
+
+def test_driver_sim_warns_on_partial_headline(tmp_path):
+    """Only the early partial line landed (extras never completed): the
+    headline survives, so the gate passes — with a warning."""
+    stub = _stub(tmp_path, """
+        print(json.dumps({"metric": "m", "value": 11.0, "unit": "u",
+                          "extra": {"partial": True}}), flush=True)
+    """)
+    r = _run_driver_sim(stub)
+    assert r.returncode == 0
+    assert "WARNING" in r.stdout
+
+
+def test_run_stage_collects_json_and_cache_delta(tmp_path, monkeypatch):
+    """bench._run_stage must parse the stage subprocess's JSON line and
+    annotate wall time + compilation-cache delta."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    stub = tmp_path / "stage_stub.py"
+    stub.write_text(textwrap.dedent("""
+        import json, sys
+        assert sys.argv[1:] == ["--stage", "p50"]
+        print("some log noise")
+        print(json.dumps({"p50_scene_latency_s": 4.2}))
+    """))
+    cache = tmp_path / "jax_cache"
+    cache.mkdir()
+    (cache / "a").write_text("x")
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(cache))
+    monkeypatch.setattr(bench, "__file__", str(stub))
+    out = bench._run_stage("p50", timeout_s=30)
+    assert out["p50_scene_latency_s"] == 4.2
+    assert out["p50_cache_entries_delta"] == 0
+    assert out["p50_wall_s"] >= 0
+
+
+def test_run_stage_timeout_is_degraded_not_fatal(tmp_path, monkeypatch):
+    sys.path.insert(0, REPO)
+    import bench
+
+    stub = tmp_path / "stage_stub.py"
+    stub.write_text("import time\ntime.sleep(60)\n")
+    monkeypatch.setattr(bench, "__file__", str(stub))
+    out = bench._run_stage("smoke", timeout_s=2)
+    assert out == {"smoke": "timeout", "smoke_budget_s": 2, "degraded": True}
+
+
+def test_run_stage_error_is_degraded_not_fatal(tmp_path, monkeypatch):
+    sys.path.insert(0, REPO)
+    import bench
+
+    stub = tmp_path / "stage_stub.py"
+    stub.write_text("raise RuntimeError('boom')\n")
+    monkeypatch.setattr(bench, "__file__", str(stub))
+    out = bench._run_stage("p50", timeout_s=30)
+    assert out["p50"] == "error"
+    assert out["degraded"] is True
+    assert "boom" in out["p50_err"]
