@@ -793,6 +793,7 @@ def _boundary_merge_full_density(
     t0 = time.perf_counter()
     if mst is not None:
         pairs = _mst_candidate_pairs(mst, labels, margin * eps)
+        _debug_t("candidates/mst-gate", t0)
         if not pairs:
             return labels
         # refinement confirmed: the full-density phases below run host-side
@@ -814,8 +815,10 @@ def _boundary_merge_full_density(
             (int(uniq.max()) + 1, int(uniq.max()) + 1), bool)
         for a, b in pairs:
             in_pair[a, b] = in_pair[b, a] = True
+        t_seed = time.perf_counter()
         seed_mask = _seed_mask_from_knn(
             knn, labels, in_pair, margin * eps)
+        _debug_t("candidates/seed-mask", t_seed)
         if not seed_mask.any():
             return labels
     else:
