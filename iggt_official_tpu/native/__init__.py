@@ -286,9 +286,10 @@ class KnnTree:
         if lib is None:
             raise RuntimeError("native postproc library unavailable")
         self._lib = lib
-        # keep the reference alive: the tree copies points at build, so
-        # only the build call needs it — but hold it anyway against
-        # future zero-copy builds
+        # the tree memcpys the points at build (knn_tree_build), so the
+        # reference array is only needed for the duration of that call —
+        # no handle to it is kept.  If knn_tree_build is ever made
+        # zero-copy, this MUST start storing `ref` on self.
         ref = np.ascontiguousarray(ref, np.float32)
         self.n, self.d = ref.shape
         self._handle = lib.knn_tree_build(

@@ -912,7 +912,10 @@ EXPORT void knn_query(
           s += diff * diff;
         }
         float b = prev_dk + std::sqrt(s);
-        bound2 = b * b;
+        // small relative slack: the f32 sum/sqrt/square chain can round
+        // the carried bound one ulp below the true k-th distance and
+        // prune the subtree holding it, breaking the exact contract
+        bound2 = b * b * 1.00001f;
       }
       int64_t hsz = 0;
       tree.query(qp, k, heap.data(), hsz, 0, tree.n, 0, bound2);
@@ -1093,7 +1096,10 @@ EXPORT void knn_tree_query(
           s += diff * diff;
         }
         float b = prev_dk + std::sqrt(s);
-        bound2 = b * b;
+        // relative slack against f32 rounding of the carried bound (see
+        // knn_query) — pruning must stay admissible for the exact
+        // contract the refinement's core distances rely on
+        bound2 = b * b * 1.00001f;
       }
       int64_t hsz = 0;
       tree.query(qp, kk, heap.data(), hsz, 0, tree.n, 0, bound2);

@@ -858,7 +858,12 @@ def _boundary_merge_full_density(
     def flat_tree():
         """Native kNN tree over the full features, built on first use
         (only cluster pairs with a small side need per-pair queries) and
-        amortized across every part-2 pair."""
+        amortized across every part-2 pair.  Returns None under
+        IGGT_DEVICE_KNN=1 so `_knn_query_vs` falls through to the device
+        brute path the flag exists to force (locally-attached chips)."""
+        if (os.environ.get("IGGT_DEVICE_KNN") == "1"
+                and _accelerator_available()):
+            return None
         if not tree_box:
             from iggt_official_tpu import native
 
@@ -996,18 +1001,14 @@ def _knn_query_vs(ref, query: np.ndarray, k: int, tree=None):
     if tree is not None:
         return tree.query(np.asarray(query, np.float32), k)
     if os.environ.get("IGGT_DEVICE_KNN") == "1" and _accelerator_available():
-        from iggt_official_tpu.ops.knn import brute_knn
+        from iggt_official_tpu.ops.knn import brute_knn, query_block_for
 
         q = np.asarray(query, np.float32)
         Q = q.shape[0]
-        # brute_knn shrinks its query block to cap the (block, R) f32
-        # distance buffer at 512 MiB — mirror that formula so the padded
-        # block count matches the real dispatch shape (ADVICE r4)
-        n_ref = ref.shape[0]
-        block = 4096
-        max_block = max(256, int((512 * 2**20) // max(n_ref * 4, 1)))
-        if block > max_block:
-            block = max(256, 1 << (max_block.bit_length() - 1))
+        # pad to brute_knn's OWN dispatch block (shared helper — a
+        # mismatched mirror would re-open the per-query-count compile
+        # tail, ADVICE r4)
+        block = query_block_for(ref.shape[0])
         n_blocks = -(-Q // block)
         n_pow2 = 1 << max(0, n_blocks - 1).bit_length()
         if n_pow2 * block > Q:
@@ -1279,11 +1280,34 @@ def _cluster_mv_device(
     if noise.all():
         labels[:] = 0
     elif noise.any():
-        noise_d = jnp.asarray(np.flatnonzero(noise))
-        clustered_d = jnp.asarray(np.flatnonzero(~noise))
-        j = np.asarray(
-            nn1_pallas(pts_dev[noise_d], pts_dev[clustered_d])
-        )
+        # pad BOTH sides of the split to powers of two: the noise count
+        # is data-dependent (and device-kNN tie-break jitter makes it
+        # vary run to run on identical inputs), so unpadded shapes mint
+        # a fresh remote-compiled nn1_pallas program nearly every run —
+        # caught as a per-run drizzle of novel jit_nn1_pallas cache
+        # entries by the round-5 strict preflight.  Query pads repeat
+        # row 0 and are sliced off; ref pads are overwritten with a
+        # huge sentinel coordinate so they never win a nearest-neighbour
+        # race (exact tie-break semantics preserved).
+        noise_idx = np.flatnonzero(noise)
+        clus_idx = np.flatnonzero(~noise)
+        qn, rn = len(noise_idx), len(clus_idx)
+        qp2 = 1 << (qn - 1).bit_length()
+        rp2 = 1 << (rn - 1).bit_length()
+        noise_pad = np.concatenate(
+            [noise_idx, np.zeros(qp2 - qn, np.int64)])
+        clus_pad = np.concatenate(
+            [clus_idx, np.zeros(rp2 - rn, np.int64)])
+        q_dev = pts_dev[jnp.asarray(noise_pad)]
+        ref_dev = pts_dev[jnp.asarray(clus_pad)]
+        if rp2 > rn:
+            # rn rides as a traced operand (array, not python int): a
+            # static slice/literal would bake the count into the program
+            # and defeat the pow2 bounding
+            keep = (jnp.arange(rp2, dtype=jnp.int32)
+                    < jnp.asarray(rn, jnp.int32))
+            ref_dev = jnp.where(keep[:, None], ref_dev, jnp.float32(1e30))
+        j = np.asarray(nn1_pallas(q_dev, ref_dev))[:qn]
         labels[noise] = labels[~noise][j]
     _debug_t("noise-reassign", t0)
 

@@ -193,6 +193,20 @@ def _knn_all_blocks(
     )
 
 
+def query_block_for(n_ref: int, block: int = 4096) -> int:
+    """The query-block size brute_knn actually dispatches with: the
+    default block, shrunk (to a power of two, >= 256) so the (block, R)
+    f32 distance buffer stays under ~512 MiB.  Exposed so callers that
+    pad query counts to bound the XLA shape family (the clustering
+    refinement's device force-path) compute the SAME block as the real
+    dispatch — a mismatch would silently re-open the
+    one-program-per-query-count compile tail."""
+    max_block = max(256, int((512 * 2**20) // max(n_ref * 4, 1)))
+    if block > max_block:
+        block = max(256, 1 << (max_block.bit_length() - 1))
+    return block
+
+
 def brute_knn(
     ref,
     query,
@@ -214,9 +228,7 @@ def brute_knn(
     # 4096-query block is sized for 150k refs (2.4 GiB transient); the
     # exact-mode 1-NN backfill passes ~1M refs, where 4096 x R x 4B would
     # be a 16 GiB allocation (OOMed on 6-view demo scenes)
-    max_block = max(256, int((512 * 2**20) // max(ref_d.shape[0] * 4, 1)))
-    if block > max_block:
-        block = max(256, 1 << (max_block.bit_length() - 1))
+    block = query_block_for(ref_d.shape[0], block)
     pad = (-Q) % block
     q = jnp.asarray(query, jnp.float32)
     if pad:

@@ -64,8 +64,14 @@ def segment_sky_heuristic(image: np.ndarray) -> np.ndarray:
     load-bearing for precision, so this is accepted in the conservative
     direction (unmasked sky keeps points; measured: the sky-dominant
     reframe of the wire-heavy demo1 frame recalls 0.20 while all other
-    reframes recall 0.86-0.99).  `load_or_compute_sky_masks` accepts any
-    callable with the same contract for a learned replacement.
+    reframes recall 0.86-0.99); and the dominance exemption itself is a
+    measured trade — an upward-tilted shot of a smooth, bright, slightly
+    cool wall filling the top quarter AND running to the floor would now
+    be kept as sky (pre-r5 it was extent-rejected), a geometry the
+    golden negatives do not contain and one that is ambiguous without
+    semantics even for the reference's trained model.
+    `load_or_compute_sky_masks` accepts any callable with the same
+    contract for a learned replacement.
     """
     img = np.asarray(image, np.float32) / 255.0
     h, w = img.shape[:2]

@@ -82,16 +82,32 @@ def test_driver_sim_fails_on_compile_tail(tmp_path):
     assert "compile-tail" in r.stdout
 
 
-def test_driver_sim_warns_on_partial_headline(tmp_path):
+def test_driver_sim_fails_on_partial_headline(tmp_path):
     """Only the early partial line landed (extras never completed): the
-    headline survives, so the gate passes — with a warning."""
+    DRIVER would still record the headline, but the preflight gate must
+    refuse to ship a build whose auxiliary guards never ran."""
     stub = _stub(tmp_path, """
         print(json.dumps({"metric": "m", "value": 11.0, "unit": "u",
                           "extra": {"partial": True}}), flush=True)
     """)
     r = _run_driver_sim(stub)
-    assert r.returncode == 0
-    assert "WARNING" in r.stdout
+    assert r.returncode == 1
+    assert "partial headline" in r.stdout
+
+
+def test_driver_sim_fails_on_degraded_or_missing_stage(tmp_path):
+    """A timed-out stage reports no cache-delta accounting; the gate must
+    treat that as red (r4's compile tail hid in exactly this way)."""
+    stub = _stub(tmp_path, """
+        head = {"metric": "m", "value": 11.0, "unit": "u"}
+        print(json.dumps({**head, "extra": {
+            "p50_scene_latency_s": 5.0, "p50_cache_entries_delta": 0,
+            "smoke": "timeout", "smoke_budget_s": 420,
+            "degraded": True}}), flush=True)
+    """)
+    r = _run_driver_sim(stub)
+    assert r.returncode == 1
+    assert "degraded" in r.stdout
 
 
 def test_run_stage_collects_json_and_cache_delta(tmp_path, monkeypatch):
