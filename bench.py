@@ -35,8 +35,10 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -53,28 +55,49 @@ ANCHOR_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_AN
 # failure the headline must survive.
 P50_TIMEOUT_S = 480
 SMOKE_TIMEOUT_S = 420
+STAGES = (("p50", P50_TIMEOUT_S), ("smoke", SMOKE_TIMEOUT_S))
+
+# soft total wall budget for the whole bench, measured from process start
+# (seconds).  A failed stage is retried once ONLY if the retry (plus the
+# reserves of anything still queued) fits inside this budget, so the
+# worst LEGAL bench stays within the 1900 s the preflight gate models
+# (benchmarks/driver_sim.py --budget).  Rationale: the observed failure
+# mode is a TRANSIENT — a tunnel outage wipes the remote compile
+# service's Mosaic cache, one stage's Pallas re-compiles blow its budget
+# once, and a later retry finds the service re-warmed.
+BENCH_SOFT_BUDGET_S = 1750
 
 
 def _wait_for_accelerator(max_wait_s: float = 900.0) -> None:
     """A killed-mid-compile process wedges the remote-TPU tunnel for
     ~10-20 min; probe it in fresh subprocesses (backend init failure is
     cached per process) until it answers, so a bench launched during the
-    wedge recovers instead of dying at jax.devices()."""
+    wedge recovers instead of dying at jax.devices().
+
+    A timed-out probe is SIGINT'd and abandoned, never SIGKILLed — a
+    hard kill of a process attached to the tunnel can perpetuate the
+    very wedge this loop is waiting out (round-5 postmortem)."""
     probe = (
         "import jax, numpy as np;"
         "print(int(np.asarray(jax.numpy.ones((8, 128))).sum()))"
     )
     t0 = time.time()
     while True:
+        out_f = tempfile.TemporaryFile(mode="w+")
+        proc = subprocess.Popen(
+            [sys.executable, "-c", probe],
+            stdout=out_f, stderr=subprocess.DEVNULL, text=True,
+        )
         try:
-            r = subprocess.run(
-                [sys.executable, "-c", probe],
-                capture_output=True, timeout=120, text=True,
-            )
-            if r.returncode == 0 and "1024" in r.stdout:
+            rc = proc.wait(timeout=120)
+            out_f.seek(0)
+            if rc == 0 and "1024" in out_f.read():
                 return
         except subprocess.TimeoutExpired:
-            pass
+            try:
+                proc.send_signal(signal.SIGINT)
+            except OSError:
+                pass
         if time.time() - t0 > max_wait_s:
             return  # let the real run surface the error
         time.sleep(30)
@@ -92,20 +115,42 @@ def _run_stage(stage: str, timeout_s: int) -> dict:
     """Run ``bench.py --stage <stage>`` in a subprocess, return its JSON
     result dict, or {"<stage>": "timeout"/"error"} on failure.  The
     subprocess boundary is the watchdog: a stage wedged in a remote
-    compile is killed at the deadline without touching the parent (or the
-    already-printed headline)."""
+    compile is abandoned at the deadline without touching the parent (or
+    the already-printed headline).
+
+    On timeout the stage gets SIGINT and is ABANDONED, not SIGKILLed: a
+    hard kill mid-remote-compile wedges the TPU tunnel for ~10-20 min
+    (observed round 5 — the next process hangs at ``jax.devices()``),
+    poisoning every subsequent stage and even the next bench run.  SIGINT
+    lets the interpreter unwind and close the tunnel connection cleanly
+    once the blocking remote call returns; until then the orphan keeps
+    running, so the timeout dict carries its Popen under ``"_proc"`` for
+    the caller to drain (never serialized — keys starting with ``_`` are
+    stripped before printing)."""
     t0 = time.perf_counter()
     before = _cache_entries()
+    out_f = tempfile.TemporaryFile(mode="w+")
+    err_f = tempfile.TemporaryFile(mode="w+")
+    # temp-file IO (not pipes): an abandoned stage must never block on a
+    # full pipe nobody drains
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--stage", stage],
+        stdout=out_f, stderr=err_f, text=True,
+    )
     try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--stage", stage],
-            capture_output=True, timeout=timeout_s, text=True,
-        )
+        rc = proc.wait(timeout=timeout_s)
     except subprocess.TimeoutExpired:
+        try:
+            proc.send_signal(signal.SIGINT)
+        except OSError:
+            pass
         return {stage: "timeout", f"{stage}_budget_s": timeout_s,
-                "degraded": True}
+                "degraded": True, "_proc": proc}
+    out_f.seek(0)
+    err_f.seek(0)
+    stdout, stderr = out_f.read(), err_f.read()
     out = {}
-    for line in reversed((r.stdout or "").splitlines()):
+    for line in reversed(stdout.splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:
@@ -113,9 +158,9 @@ def _run_stage(stage: str, timeout_s: int) -> dict:
                 break
             except json.JSONDecodeError:
                 continue
-    if r.returncode != 0 or not out:
-        tail = ((r.stderr or "").strip().splitlines() or [""])[-1][:200]
-        return {stage: "error", f"{stage}_rc": r.returncode,
+    if rc != 0 or not out:
+        tail = (stderr.strip().splitlines() or [""])[-1][:200]
+        return {stage: "error", f"{stage}_rc": rc,
                 f"{stage}_err": tail, "degraded": True}
     out[f"{stage}_wall_s"] = round(time.perf_counter() - t0, 1)
     # compile-tail guard (VERDICT r4 task 2): auxiliary stages must
@@ -130,9 +175,69 @@ def _run_stage(stage: str, timeout_s: int) -> dict:
     return out
 
 
+def _stage_failed(res: dict, stage: str) -> bool:
+    return res.get(stage) in ("timeout", "error")
+
+
+def _drain_orphan(res: dict, wait_s: float) -> None:
+    """Bounded wait for an abandoned stage to unwind, so it neither
+    contends with nor pollutes the cache accounting of whatever runs
+    next.  Strips the non-serializable ``"_proc"`` key either way."""
+    proc = res.pop("_proc", None)
+    if proc is None or wait_s <= 0:
+        return
+    try:
+        proc.wait(timeout=wait_s)
+    except subprocess.TimeoutExpired:
+        pass
+
+
+def _run_stages(t_bench0: float, stages=STAGES,
+                soft_budget_s: float = BENCH_SOFT_BUDGET_S,
+                run_stage=None, wait_accel=None) -> dict:
+    """Run the auxiliary stages sequentially, then retry each failed one
+    once if the soft total budget allows (transient-degradation rescue —
+    see BENCH_SOFT_BUDGET_S).  Returns the merged extras dict; a stage
+    that failed both attempts keeps its failure marker and ``degraded``.
+    """
+    run_stage = run_stage or _run_stage
+    wait_accel = wait_accel or _wait_for_accelerator
+
+    def remaining() -> float:
+        return soft_budget_s - (time.perf_counter() - t_bench0)
+
+    results: dict = {}
+    budgets = dict(stages)
+    queued = [s for s, _ in stages]
+    for name, budget in stages:
+        queued.remove(name)
+        results[name] = run_stage(name, budget)
+        # reserve the remaining stages' budgets (+slack) when draining
+        reserve = sum(budgets[q] for q in queued) + 60
+        _drain_orphan(results[name], remaining() - reserve)
+    for name, budget in stages:
+        if not _stage_failed(results[name], name):
+            continue
+        if remaining() < budget + 90:
+            continue  # a retry would not fit the driver's budget
+        wait_accel(max_wait_s=min(120.0, remaining() - budget - 60))
+        retry = run_stage(name, budget)
+        retry[f"{name}_retried"] = True
+        _drain_orphan(retry, remaining() - 60)
+        if _stage_failed(retry, name):
+            results[name][f"{name}_retried"] = True
+        else:
+            results[name] = retry
+    extra: dict = {}
+    for res in results.values():
+        extra.update(res)
+    return {k: v for k, v in extra.items() if not k.startswith("_")}
+
+
 def main() -> None:
     import argparse
 
+    t_bench0 = time.perf_counter()
     parser = argparse.ArgumentParser()
     parser.add_argument("--views", type=int, default=None,
                         help="long-sequence mode: views/s at N views, 504x336")
@@ -272,13 +377,10 @@ def main() -> None:
     # (their subprocesses share the one-chip HBM through the tunnel)
     del images, out, params
 
-    extra: dict = {}
     try:
-        extra.update(_run_stage("p50", P50_TIMEOUT_S))
-        extra.update(_run_stage("smoke", SMOKE_TIMEOUT_S))
+        extra = _run_stages(t_bench0)
     except Exception as e:  # never let extras kill the bench
-        extra["extras_error"] = repr(e)[:200]
-        extra["degraded"] = True
+        extra = {"extras_error": repr(e)[:200], "degraded": True}
 
     print(json.dumps({**headline, "extra": extra}), flush=True)
 

@@ -58,6 +58,19 @@ def main() -> int:
     sel = selectors.DefaultSelector()
     sel.register(fd, selectors.EVENT_READ)
 
+    def _stop_bench() -> None:
+        # graceful first: SIGKILLing a bench attached to the TPU tunnel
+        # mid-compile wedges the tunnel for ~10-20 min and poisons the
+        # NEXT preflight run (the run-twice rule makes that the common
+        # next action).  SIGINT lets it unwind and close the connection
+        # cleanly; escalate only if it ignores the interrupt.
+        import signal as _signal
+        try:
+            proc.send_signal(_signal.SIGINT)
+            proc.wait(timeout=30)
+        except (subprocess.TimeoutExpired, OSError):
+            proc.kill()
+
     lines: list[dict] = []
     t_headline = None
     buf = b""
@@ -67,12 +80,12 @@ def main() -> int:
         elapsed = time.perf_counter() - t0
         if elapsed > args.budget:
             failed = f"total budget {args.budget:.0f}s exceeded"
-            proc.kill()
+            _stop_bench()
             break
         if lines == [] and elapsed > args.headline_budget:
             failed = (f"no headline within {args.headline_budget:.0f}s "
                       f"(un-losable-bench contract violated)")
-            proc.kill()
+            _stop_bench()
             break
         if not sel.select(timeout=5.0):
             if proc.poll() is not None:

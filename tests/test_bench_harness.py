@@ -142,7 +142,90 @@ def test_run_stage_timeout_is_degraded_not_fatal(tmp_path, monkeypatch):
     stub.write_text("import time\ntime.sleep(60)\n")
     monkeypatch.setattr(bench, "__file__", str(stub))
     out = bench._run_stage("smoke", timeout_s=2)
+    proc = out.pop("_proc")  # abandoned-orphan handle for the caller
     assert out == {"smoke": "timeout", "smoke_budget_s": 2, "degraded": True}
+    proc.wait(timeout=10)  # SIGINT'd sleeper exits promptly
+
+
+def test_run_stage_timeout_signals_sigint_not_kill(tmp_path, monkeypatch):
+    """A timed-out stage must get a GRACEFUL interrupt: a SIGKILL
+    mid-remote-compile wedges the TPU tunnel for ~10-20 min (round-5
+    postmortem), poisoning every later stage."""
+    sys.path.insert(0, REPO)
+    import time as _time
+
+    import bench
+
+    marker = tmp_path / "got_sigint"
+    stub = tmp_path / "stage_stub.py"
+    # NB: sitecustomize imports jax in every child on this image, so the
+    # stub needs several seconds of startup before its try block is
+    # live — the stage budget must cover that or SIGINT lands mid-import
+    stub.write_text(textwrap.dedent(f"""
+        import time
+        try:
+            time.sleep(60)
+        except KeyboardInterrupt:
+            open({str(marker)!r}, "w").write("yes")
+    """))
+    monkeypatch.setattr(bench, "__file__", str(stub))
+    out = bench._run_stage("p50", timeout_s=25)
+    assert out["p50"] == "timeout"
+    proc = out["_proc"]
+    proc.wait(timeout=10)
+    deadline = _time.time() + 5
+    while not marker.exists() and _time.time() < deadline:
+        _time.sleep(0.1)
+    assert marker.exists(), "stage was not interrupted via SIGINT"
+
+
+def test_run_stages_retries_transient_failure():
+    """A stage that fails once and succeeds on retry must end up clean:
+    no failure marker, no degraded flag, retried annotation present."""
+    sys.path.insert(0, REPO)
+    import time as _time
+
+    import bench
+
+    calls = []
+
+    def fake_stage(name, budget):
+        calls.append(name)
+        if name == "p50" and calls.count("p50") == 1:
+            return {name: "timeout", f"{name}_budget_s": budget,
+                    "degraded": True}
+        return {f"{name}_ok": 1.0, f"{name}_cache_entries_delta": 0}
+
+    out = bench._run_stages(
+        _time.perf_counter(), stages=(("p50", 5), ("smoke", 5)),
+        soft_budget_s=600, run_stage=fake_stage,
+        wait_accel=lambda max_wait_s: None)
+    assert calls == ["p50", "smoke", "p50"]
+    assert out["p50_ok"] == 1.0 and out["p50_retried"] is True
+    assert "degraded" not in out and "p50" not in out
+
+
+def test_run_stages_skips_retry_when_budget_spent():
+    """No retry may start unless it fits the soft total budget — the
+    driver's wall clock is the one resource the bench must never bet."""
+    sys.path.insert(0, REPO)
+    import time as _time
+
+    import bench
+
+    calls = []
+
+    def fake_stage(name, budget):
+        calls.append(name)
+        return {name: "timeout", f"{name}_budget_s": budget,
+                "degraded": True}
+
+    t0 = _time.perf_counter() - 550  # pretend 550 s already elapsed
+    out = bench._run_stages(
+        t0, stages=(("p50", 100), ("smoke", 100)), soft_budget_s=600,
+        run_stage=fake_stage, wait_accel=lambda max_wait_s: None)
+    assert calls == ["p50", "smoke"]  # no retries
+    assert out["degraded"] is True and out["p50"] == "timeout"
 
 
 def test_run_stage_error_is_degraded_not_fatal(tmp_path, monkeypatch):
