@@ -248,8 +248,13 @@ def main() -> None:
     args = parser.parse_args()
 
     if args.stage == "p50":
-        print(json.dumps({"p50_scene_latency_s": scene_latency_p50()}),
-              flush=True)
+        # internal soft deadline: return a median of HOWEVER MANY timed
+        # runs fit the stage budget (minus teardown margin) instead of
+        # letting the subprocess watchdog kill a stage whose
+        # compile-heavy warmup ate most of it — a p50 from fewer samples
+        # beats no p50 at all
+        deadline = t_bench0 + P50_TIMEOUT_S - 30
+        print(json.dumps(scene_latency_p50(deadline=deadline)), flush=True)
         return
     if args.stage == "smoke":
         print(json.dumps(postproc_scale_smoke()), flush=True)
@@ -490,12 +495,20 @@ def postproc_scale_smoke(views: int = 10, h: int = 336, w: int = 504):
     }
 
 
-def scene_latency_p50(runs: int = 5):
-    """Median end-to-end scene latency on the demo1 scene (s), or None if
-    the scene images are unavailable."""
+def scene_latency_p50(runs: int = 5, deadline: float | None = None):
+    """Median end-to-end scene latency on the demo1 scene, as a dict
+    ``{"p50_scene_latency_s": median, ...}``, or ``{"p50_scene_latency_s":
+    None}`` if the scene images are unavailable.
+
+    ``deadline`` (perf_counter timestamp) is a soft budget: after the
+    warmup (which carries the compile cost and cannot be skipped), timed
+    runs stop early once the deadline passes, and the median of the runs
+    that DID complete is returned with ``p50_runs_used`` marking the
+    truncation.  At least one timed run is always attempted post-warmup.
+    """
     scene = "/root/reference/iggt_demo/demo1"
     if not os.path.isdir(os.path.join(scene, "images")):
-        return None
+        return {"p50_scene_latency_s": None}
     import statistics
 
     import jax
@@ -532,7 +545,12 @@ def scene_latency_p50(runs: int = 5):
         t0 = time.perf_counter()
         one_scene()
         times.append(time.perf_counter() - t0)
-    return round(statistics.median(times), 3)
+        if deadline is not None and time.perf_counter() > deadline:
+            break
+    out = {"p50_scene_latency_s": round(statistics.median(times), 3)}
+    if len(times) < runs:
+        out["p50_runs_used"] = len(times)
+    return out
 
 
 if __name__ == "__main__":
