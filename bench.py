@@ -89,7 +89,12 @@ def _wait_for_accelerator(max_wait_s: float = 900.0) -> None:
             stdout=out_f, stderr=subprocess.DEVNULL, text=True,
         )
         try:
-            rc = proc.wait(timeout=120)
+            # up to 240 s per probe: a degraded-but-usable tunnel was
+            # measured answering a tiny op in 219 s (round-5 session 2) —
+            # a 120 s probe would have declared it dead for the full
+            # max_wait.  Clamped by max_wait_s so the bounded retry-path
+            # waits (max_wait_s=120) never overshoot the driver budget.
+            rc = proc.wait(timeout=min(240.0, max(60.0, max_wait_s)))
             out_f.seek(0)
             if rc == 0 and "1024" in out_f.read():
                 return
